@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a multi-executor cluster at 10^12-row scale; tested on local[N].
+Every knob here is plain public Spark configuration:
+
+- AQE on (runtime shuffle coalescing + skew-join splitting) — the runtime
+  counterpart of the reference's fixed worker pool (bin/parser-cli.go:53-56).
+- Arrow enabled for all pandas UDF exchange (the parse stage is mapInPandas).
+- shuffle.partitions sized ~2x cores for local mode; on a real cluster set
+  spark.sql.shuffle.partitions ~= 2-3x total executor cores (AQE coalesces
+  down, it cannot split a too-coarse map side other than via skew handling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "mysql-log-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 64 if n == "*" else max(8, 2 * int(n))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

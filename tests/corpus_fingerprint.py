@@ -1,0 +1,181 @@
+"""Fingerprint conformance corpus.
+
+Transcribed from the reference's test literals at
+/root/reference/log/log_test.go:25-379 (TestFingerprintBasic,
+TestFingerprintValueList, TestFingerprintOrderBy,
+TestFingerprintOneLineComments).  Each pair is (input_query,
+expected_fingerprint).  Go raw-string literals (backticks) keep backslashes
+literal; Go interpreted strings process escapes — both are reproduced here
+with Python escaping.
+"""
+
+# (query, expected_fingerprint, note)
+CASES = [
+    # log_test.go:29-33
+    ("SELECT c FROM t WHERE id=1", "select c from t where id=?", "basic"),
+    # log_test.go:37-42 (Go raw string: \' and \n are literal two-char sequences)
+    (
+        r"UPDATE groups_search SET  charter = '   -------3\'\' XXXXXXXXX.\n"
+        r"    \n"
+        r"    -----------------------------------------------------', show_in_list = 'Y'"
+        r" WHERE group_id='aaaaaaaa'",
+        "update groups_search set charter = ?, show_in_list = ? where group_id=?",
+        "fake one-line-comment-looking values",
+    ),
+    # log_test.go:45-50 — /*! version hints preserved
+    (
+        "SELECT /*!40001 SQL_NO_CACHE */ * FROM `film`",
+        "select /*!? sql_no_cache */ * from `film`",
+        "version hint preserved",
+    ),
+    # log_test.go:53-58
+    ("CALL foo(1, 2, 3)", "call foo", "stored proc"),
+    # log_test.go:61-66 — admin command passthrough (NOT lowercased)
+    ("administrator command: Init DB", "administrator command: Init DB", "admin"),
+    # log_test.go:69-74
+    ("use `foo`", "use ?", "use db"),
+    # log_test.go:77-82 (perlmonks 728718)
+    ("select null, 5.001, 5001. from foo", "select ?, ?, ? from foo", "null+floats"),
+    # log_test.go:85-90 (interpreted string: real newlines, \\' = backslash-quote)
+    (
+        "select 'hello', '\nhello\n', \"hello\", '\\'' from foo",
+        "select ?, ?, ?, ? from foo",
+        "quoted strings",
+    ),
+    # log_test.go:93-98
+    ("select 'hello'\n", "select ?", "trailing newline"),
+    # log_test.go:100-107 — known deficiency, behavior is part of the spec
+    ("select '\\\\' from foo", "select '\\ from foo", "backslash deficiency"),
+    # log_test.go:110-115
+    ("select   foo", "select foo", "collapse ws"),
+    # log_test.go:118-123
+    ("SELECT * from foo where a = 5", "select * from foo where a = ?", "int"),
+    # log_test.go:126-131
+    (
+        "select 0e0, +6e-30, -6.00 from foo where a = 5.5 or b=0.5 or c=.5",
+        "select ?, ?, ? from foo where a = ? or b=? or c=?",
+        "floats",
+    ),
+    # log_test.go:134-139
+    (
+        "select 0x0, x'123', 0b1010, b'10101' from foo",
+        "select ?, ?, ?, ? from foo",
+        "hex/bit",
+    ),
+    # log_test.go:142-147
+    (" select  * from\nfoo where a = 5", "select * from foo where a = ?", "spacey"),
+    # log_test.go:150-155
+    (
+        "select * from foo where a in (5) and b in (5, 8,9 ,9 , 10)",
+        "select * from foo where a in(?+) and b in(?+)",
+        "IN lists",
+    ),
+    # log_test.go:159-164
+    ("select foo_1 from foo_2_3", "select foo_1 from foo_2_3", "numeric idents kept"),
+    # log_test.go:168-173
+    ("select 123foo from 123foo", "select ?oo from ?oo", "numeric prefix"),
+    # log_test.go:176-181
+    ("select 123_foo from 123_foo", "select ?_foo from ?_foo", "numeric prefix _"),
+    # log_test.go:184-189
+    (
+        "insert into abtemp.coxed select foo.bar from foo",
+        "insert into abtemp.coxed select foo.bar from foo",
+        "no changes",
+    ),
+    # log_test.go:192-197
+    ("select * from foo limit 5", "select * from foo limit ?", "limit"),
+    # log_test.go:200-205
+    ("select * from foo limit 5, 10", "select * from foo limit ?", "limit offset comma"),
+    # log_test.go:208-213
+    ("select * from foo limit 5 offset 10", "select * from foo limit ?", "limit offset"),
+    # log_test.go:216-221
+    (
+        "LOAD DATA INFILE '/tmp/foo.txt' INTO db.tbl",
+        "load data infile ? into db.tbl",
+        "load data",
+    ),
+    # log_test.go:224-229
+    (
+        "SELECT * FROM prices.rt_5min where id=1",
+        "select * from prices.rt_5min where id=?",
+        "tbl<number>name preserved",
+    ),
+    # log_test.go:232-237 (bug 1174956)
+    (
+        "/* -- S++ SU ABORTABLE -- spd_user: rspadim */SELECT SQL_SMALL_RESULT"
+        " SQL_CACHE DISTINCT centro_atividade FROM est_dia WHERE unidade_id=1001"
+        " AND item_id=67 AND item_id_red=573",
+        "select sql_small_result sql_cache distinct centro_atividade from est_dia"
+        " where unidade_id=? and item_id=? and item_id_red=?",
+        "/* -- comment */",
+    ),
+    # log_test.go:244-249
+    (
+        "insert into foo(a, b, c) values(2, 4, 5)",
+        "insert into foo(a, b, c) values(?+)",
+        "VALUES",
+    ),
+    # log_test.go:252-257
+    (
+        "insert into foo(a, b, c) values(2, 4, 5) , (2,4,5)",
+        "insert into foo(a, b, c) values(?+)",
+        "VALUES multi",
+    ),
+    # log_test.go:260-265
+    (
+        "insert into foo(a, b, c) value(2, 4, 5)",
+        "insert into foo(a, b, c) value(?+)",
+        "VALUE",
+    ),
+    # log_test.go:278-283 (issue 1030)
+    (
+        "select c from t where i=1 order by c asc",
+        "select c from t where i=? order by c",
+        "order by asc",
+    ),
+    # log_test.go:373-378 — the big multi-line ### comment case
+    (
+        "### Channels ###\n\t\t\t\t\tSELECT sourcetable, IF(f.lastcontent = 0,"
+        " f.lastupdate, f.lastcontent) AS lastactivity,\n\t\t\t\t\tf.totalcount AS"
+        " activity, type.class AS type,\n\t\t\t\t\t(f.nodeoptions & 512) AS"
+        " noUnsubscribe\n\t\t\t\t\tFROM node AS f\n\t\t\t\t\tINNER JOIN contenttype"
+        " AS type ON type.contenttypeid = f.contenttypeid \n\n\t\t\t\t\tINNER JOIN"
+        " subscribed AS sd ON sd.did = f.nodeid AND sd.userid = 15965\n UNION "
+        " ALL \n\n\t\t\t\t\t### Users ###\n\t\t\t\t\tSELECT f.name AS title,"
+        " f.userid AS keyval, 'user' AS sourcetable, IFNULL(f.lastpost,"
+        " f.joindate) AS lastactivity,\n\t\t\t\t\tf.posts as activity, 'Member' AS"
+        " type,\n\t\t\t\t\t0 AS noUnsubscribe\n\t\t\t\t\tFROM user AS"
+        " f\n\t\t\t\t\tINNER JOIN userlist AS ul ON ul.relationid = f.userid AND"
+        " ul.userid = 15965\n\t\t\t\t\tWHERE ul.type = 'f' AND ul.aq = 'yes'\n"
+        " ORDER BY title ASC LIMIT 100",
+        "select sourcetable, if(f.lastcontent = ?, f.lastupdate, f.lastcontent) as"
+        " lastactivity, f.totalcount as activity, type.class as type,"
+        " (f.nodeoptions & ?) as nounsubscribe from node as f inner join"
+        " contenttype as type on type.contenttypeid = f.contenttypeid inner join"
+        " subscribed as sd on sd.did = f.nodeid and sd.userid = ? union all"
+        " select f.name as title, f.userid as keyval, ? as sourcetable,"
+        " ifnull(f.lastpost, f.joindate) as lastactivity, f.posts as activity, ?"
+        " as type, ? as nounsubscribe from user as f inner join userlist as ul on"
+        " ul.relationid = f.userid and ul.userid = ? where ul.type = ? and ul.aq"
+        " = ? order by title limit ?",
+        "hash comments stripped",
+    ),
+]
+
+# Checksum golden vectors (log_test.go:390-407)
+CHECKSUM_CASES = [
+    ("hello world", "93CB22BB8F5ACDC3"),
+    (
+        "select sourcetable, if(f.lastcontent = ?, f.lastupdate, f.lastcontent) as"
+        " lastactivity, f.totalcount as activity, type.class as type,"
+        " (f.nodeoptions & ?) as nounsubscribe from node as f inner join"
+        " contenttype as type on type.contenttypeid = f.contenttypeid inner join"
+        " subscribed as sd on sd.did = f.nodeid and sd.userid = ? union all"
+        " select f.name as title, f.userid as keyval, ? as sourcetable,"
+        " ifnull(f.lastpost, f.joindate) as lastactivity, f.posts as activity, ?"
+        " as type, ? as nounsubscribe from user as f inner join userlist as ul on"
+        " ul.relationid = f.userid and ul.userid = ? where ul.type = ? and ul.aq"
+        " = ? order by title limit ?",
+        "DB9EF18846547B8C",
+    ),
+]
