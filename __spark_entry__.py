@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The implementations live in mysql_log_parser_spark.entry_queries; each Spark
+query runs the real pipeline (render corpus -> parse via mapInPandas ->
+fingerprint via Catalyst regex chain -> aggregate), while the oracle derives
+the expected result independently from the source columns.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_log_parser_spark import entry_queries as EQ  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse->fingerprint->aggregate digest over a tokenized
+    corpus derived from /root/testdata/sf0.001 (tokens path exercised)."""
+    from pyspark.sql import functions as F
+
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+    from mysql_log_parser_spark.operators.aggregate import class_digest
+    from mysql_log_parser_spark.operators.parse import parse_slowlog, promote_metrics
+
+    docs = EQ.docs_from_events(spark, "/root/testdata/sf0.001")
+    tokens_tbl = docs.select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens"), "source"
+    ).withColumn("n_tok", F.size("tokens"))
+
+    ev = promote_metrics(with_fingerprint(parse_slowlog(tokens_tbl)))
+    return class_digest(ev, mode="sketch")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator surface (SURVEY.md §2)."""
+    return {name: fn for name, (fn, _) in EQ.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (independent derivations)."""
+    return {name: sql for name, (_, sql) in EQ.QUERIES.items()}

@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "events_per_sec": ..., "cpus": ...}
+
+Protocol:
+
+1. prepare (untimed, cached): render the deterministic slow-log corpus from
+   {sf}/events.parquet, encode to the tokens-table input contract
+   (doc_id, tokens array<int32>, n_tok, source), write parquet.
+2. flagship (timed): tokens parquet -> detokenize+parse (mapInPandas) ->
+   fingerprint (Catalyst regex chain) -> per-class digest (GK-sketch
+   percentiles) -> noop sink.  `events_per_sec` over this span is the
+   reference CLI's own throughput metric (bin/parser-cli.go:124-127).
+3. secondary timings: the driver-contract queries + global digest + routed
+   fan-out write.
+
+Scaling protocol (local[8] vs local[32] on the SAME prepared input) lives in
+bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def prepare_tokens(spark, sf_dir: str, replicate: int = 1) -> str:
+    """Materialize the tokens input table for `sf_dir` (cached in /tmp).
+
+    `replicate` stamps R copies of each doc (distinct doc_ids) so the timed
+    corpus is large enough that per-job overhead does not dominate — the
+    throughput metric must reflect the pipeline, not Spark scheduling floor.
+    """
+    from pyspark.sql import functions as F
+
+    from mysql_log_parser_spark import entry_queries as EQ
+
+    tag = hashlib.md5(f"{sf_dir}:{replicate}".encode()).hexdigest()[:8]
+    path = f"/tmp/mlp_bench_tokens_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = EQ.docs_from_events(spark, sf_dir)
+        if replicate > 1:
+            docs = docs.crossJoin(
+                spark.range(replicate).select(F.col("id").alias("rep"))
+            ).select(
+                F.concat("doc_id", F.lit("_r"), F.col("rep").cast("string")).alias("doc_id"),
+                "text",
+                "source",
+            )
+        tokens = docs.repartition(64).select(
+            "doc_id", EQ.encode_tokens("text").alias("tokens"), "source"
+        ).withColumn("n_tok", F.size("tokens"))
+        tokens.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+    from mysql_log_parser_spark.operators.aggregate import class_digest, global_digest
+    from mysql_log_parser_spark.operators.parse import parse_slowlog, promote_metrics
+    from mysql_log_parser_spark.operators.route import route_partitioned
+    from mysql_log_parser_spark.session import build_session
+
+    spark = build_session(
+        app_name="mlp-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "10"))
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count() * replicate
+    tokens_path = prepare_tokens(spark, sf_dir, replicate)
+
+    def pipeline_events():
+        tokens = spark.read.parquet(tokens_path)
+        # The bench corpus is a few MB, so the file scan bin-packs everything
+        # into 1-2 input splits (openCostInBytes); spread the docs so the
+        # parse stage uses all cores.  At production scale the input files
+        # are >= maxPartitionBytes and this shuffle is unnecessary.
+        tokens = tokens.repartition(2 * cpus)
+        return promote_metrics(with_fingerprint(parse_slowlog(tokens)))
+
+    # Warmup: JVM + codegen + Arrow paths.
+    _materialize(pipeline_events().limit(2000))
+
+    timings: dict[str, float] = {}
+
+    # Flagship: tokens table -> parse -> fingerprint -> per-class digest.
+    t0 = time.perf_counter()
+    _materialize(class_digest(pipeline_events(), mode="sketch"))
+    flagship = time.perf_counter() - t0
+    timings["pipeline_class_digest"] = round(flagship, 3)
+
+    t0 = time.perf_counter()
+    _materialize(global_digest(pipeline_events(), mode="sketch"))
+    timings["global_digest"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    route_partitioned(pipeline_events(), "/tmp/mlp_bench_routed", mode="overwrite")
+    timings["route_fanout_write"] = round(time.perf_counter() - t0, 3)
+
+    for name, (fn, _) in EQ.QUERIES.items():
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "end_to_end_pipeline_sec",
+        "value": round(flagship, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "events": n_events,
+        "events_per_sec": round(n_events / flagship, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

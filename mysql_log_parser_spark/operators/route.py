@@ -1,0 +1,85 @@
+"""Fan-out routing: per-`source` sinks (BASELINE.json north_rule).
+
+Two strategies, both single-shuffle-free on the event stream:
+
+1. `route_partitioned` (default, the scale path): one write of the whole
+   event stream partitioned by `source`.  Hive-style partition dirs give
+   per-sink datasets with partition pruning on read; dynamic partition
+   overwrite keeps re-runs idempotent per sink.  This is ONE job, one pass —
+   at 10^12 rows a per-sink loop would re-trigger the upstream N times.
+
+2. `route_loop`: per-source filtered writes, for genuinely heterogeneous
+   sinks (different formats/locations).  Caches the parsed events once so
+   the parse stage is not recomputed per sink.
+
+Sinks are directory-backed tables (parquet by default).  If an Iceberg
+catalog is configured on the session, pass format="iceberg" and table
+identifiers instead of paths — the code paths are identical otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def route_partitioned(
+    events: DataFrame,
+    base_path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    (
+        events.write.format(fmt)
+        .mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source")
+        .save(base_path)
+    )
+
+
+def route_loop(
+    events: DataFrame,
+    base_path: str,
+    sources: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    if sources is None:
+        sources = [r.source for r in events.select("source").distinct().collect()]
+    events = events.persist()
+    try:
+        paths = {}
+        for src in sources:
+            p = os.path.join(base_path, f"source={src}")
+            events.where(F.col("source") == src).drop("source").write.format(fmt).mode(
+                mode
+            ).save(p)
+            paths[src] = p
+        return paths
+    finally:
+        events.unpersist()
+
+
+def read_sink(spark: SparkSession, base_path: str, source: str | None = None) -> DataFrame:
+    """Read the routed table; filtering on `source` prunes to one partition
+    dir (verify via explain: PartitionFilters)."""
+    df = spark.read.parquet(base_path)
+    if source is not None:
+        df = df.where(F.col("source") == source)
+    return df
+
+
+def sink_counts(spark: SparkSession, base_path: str) -> DataFrame:
+    """Per-sink routed-row counts + distinct classes (the routed-row equality
+    / aggregate-count parity check surface)."""
+    return (
+        spark.read.parquet(base_path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("routed_rows"),
+            F.countDistinct("class_id").alias("distinct_classes"),
+        )
+    )

@@ -14,8 +14,28 @@ Every knob here is plain public Spark configuration:
 from __future__ import annotations
 
 import os
+import tempfile
+import uuid
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the package for shipping to executors (the spark-submit
+    --py-files artifact).  Rebuilt per call; tiny."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(tempfile.gettempdir(), f"mlp_spark_pkg_{uuid.uuid4().hex[:8]}.zip")
+    with zipfile.ZipFile(dst, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "mysql_log_parser_spark", os.path.relpath(full, root)
+                    )
+                    z.write(full, rel)
+    return dst
 
 
 def build_session(
@@ -34,6 +54,9 @@ def build_session(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: driver == executor; default 1g heap starves the
+        # vectorized parquet reader on wide array columns
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -47,4 +70,9 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Ship the package to Python workers (equivalent of --py-files); without
+    # this, mapInPandas UDFs fail to unpickle when the driver's cwd is not
+    # the repo root.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

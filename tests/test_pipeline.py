@@ -1,0 +1,115 @@
+"""End-to-end pipeline tests: synth corpus -> parse -> fingerprint -> enrich
+-> route -> aggregate, with per-sink routed-row equality and per-class
+aggregate-count parity (BASELINE.json north_star correctness gates)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_log_parser_spark import synth
+from mysql_log_parser_spark.operators.enrich import build_dims, enrich_events
+from mysql_log_parser_spark.operators.route import read_sink, route_partitioned, sink_counts
+from mysql_log_parser_spark.pipeline import SlowLogPipeline
+
+
+@pytest.fixture(scope="module")
+def synth_docs(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("synth") / "tokens.parquet")
+    synth.generate_parquet(p, n_docs=40, events_per_doc=25, n_sources=4, seed=7)
+    return spark.read.parquet(p)
+
+
+def test_synth_deterministic(tmp_path):
+    a = synth.generate(n_docs=3, events_per_doc=5, seed=11)
+    b = synth.generate(n_docs=3, events_per_doc=5, seed=11)
+    assert a.equals(b)
+    c = synth.generate(n_docs=3, events_per_doc=5, seed=12)
+    assert not a.equals(c)
+
+
+def test_pipeline_events(spark, synth_docs):
+    pipe = SlowLogPipeline(spark)
+    ev = pipe.events(synth_docs)
+    n = ev.count()
+    assert n == 40 * 25  # every synth event parses to exactly one row
+    # every event has a class id and promoted Query_time
+    assert ev.where(F.col("class_id").isNull()).count() == 0
+    assert ev.where(F.col("query_time").isNull()).count() == 0
+    # admin events carry the extracted command as Query (slow.go:276), so the
+    # fingerprint is the normalized command, not the admin-passthrough form
+    admin = ev.where("admin").select("fingerprint").distinct().collect()
+    assert {r.fingerprint for r in admin} == {"ping"}
+
+
+def test_admin_filter_pipeline(spark, synth_docs):
+    base = SlowLogPipeline(spark).events(synth_docs)
+    filt = SlowLogPipeline(spark, admin_filter=("Ping",)).events(synth_docs)
+    n_admin = base.where("admin").count()
+    assert n_admin > 0
+    assert filt.where("admin").count() == 0
+    assert base.count() - filt.count() == n_admin
+
+
+def test_routing_parity(spark, synth_docs, tmp_path):
+    pipe = SlowLogPipeline(spark)
+    ev = pipe.events(synth_docs).persist()
+    out = str(tmp_path / "routed")
+    route_partitioned(ev, out)
+
+    # per-sink routed-row equality: every event lands in exactly its source sink
+    expect = {r.source: r.cnt for r in ev.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    got = {r.source: r.routed_rows for r in sink_counts(spark, out).collect()}
+    assert got == expect
+
+    # per-fingerprint aggregate-count parity within one sink
+    src = sorted(expect)[0]
+    direct = {
+        r.class_id: r.cnt
+        for r in ev.where(F.col("source") == src)
+        .groupBy("class_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    routed = {
+        r.class_id: r.cnt
+        for r in read_sink(spark, out, src).groupBy("class_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert routed == direct
+    ev.unpersist()
+
+
+def test_partition_pruning(spark, synth_docs, tmp_path):
+    out = str(tmp_path / "routed2")
+    route_partitioned(SlowLogPipeline(spark).events(synth_docs), out)
+    plan = read_sink(spark, out, "src1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src1" in plan
+
+
+def test_enrich_broadcast(spark, synth_docs):
+    pipe = SlowLogPipeline(spark)
+    dims = build_dims(spark)
+    ev = enrich_events(pipe.events(synth_docs), **dims)
+    # known host gets attributes; synth 'web-42' host is not in dims -> nulls
+    row = ev.where(F.col("host") == "localhost").select("datacenter").first()
+    assert row.datacenter is not None
+    row = ev.where(F.col("host") == "web-42").select("datacenter").first()
+    assert row.datacenter is None
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_digests(spark, synth_docs):
+    pipe = SlowLogPipeline(spark, mode="exact")
+    ev = pipe.events(synth_docs).persist()
+    cd = pipe.class_digest(ev)
+    gd = pipe.global_digest(ev).first()
+    total = ev.count()
+    assert gd.total_queries == total
+    assert gd.unique_queries == cd.count()
+    # per-class counts sum to the total
+    assert sum(r.total_queries for r in cd.collect()) == total
+    # example is the argmax by query_time within each class
+    k = cd.orderBy(F.desc("total_queries")).first()
+    mx = ev.where(F.col("class_id") == k.class_id).agg(F.max("query_time")).first()[0]
+    assert abs(k.example_query_time - mx) < 1e-9
+    ev.unpersist()
