@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mysql_log_parser_spark import entry_queries as EQ  # noqa: E402
+from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,11 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return class_digest(ev, mode="sketch")
 
 
+def _all_queries() -> dict:
+    out = dict(EQ.QUERIES)
+    out.update(TEXTOPS_QUERIES)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator surface (SURVEY.md §2)."""
-    return {name: fn for name, (fn, _) in EQ.QUERIES.items()}
+    """One entry per implemented operator surface (SURVEY.md §2 + the
+    training-data ops: dedup / similarity / text analysis)."""
+    return {name: fn for name, (fn, _) in _all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (independent derivations)."""
-    return {name: sql for name, (_, sql) in EQ.QUERIES.items()}
+    """DuckDB-runnable ANSI SQL equivalents (independent derivations).
+    Queries without an entry here get the driver's weaker rows-only check."""
+    return {name: sql for name, (_, sql) in _all_queries().items() if sql is not None}

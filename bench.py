@@ -60,7 +60,7 @@ def prepare_tokens(spark, sf_dir: str, replicate: int = 1) -> str:
                 "text",
                 "source",
             )
-        tokens = docs.repartition(64).select(
+        tokens = docs.repartition(256).select(
             "doc_id", EQ.encode_tokens("text").alias("tokens"), "source"
         ).withColumn("n_tok", F.size("tokens"))
         tokens.write.mode("overwrite").parquet(path)
@@ -78,28 +78,40 @@ def main() -> None:
     from mysql_log_parser_spark.operators.route import route_partitioned
     from mysql_log_parser_spark.session import build_session
 
+    # Token docs expand ~20x through the parse (array<int32> -> event rows),
+    # so input splits must be sized for the EXPANDED working set: small
+    # maxPartitionBytes gives one prepared file per split (256 tasks) with NO
+    # shuffle of the raw tokens — repartitioning fat token rows costs a
+    # multi-GB shuffle write that dominates the job (measured: 17 JVM threads
+    # in shuffle-file write0 while Python workers idle).
     spark = build_session(
         app_name="mlp-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, 2 * cpus),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "4m",
+            "spark.sql.parquet.columnarReaderBatchSize": "256",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "10"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "30"))
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count() * replicate
     tokens_path = prepare_tokens(spark, sf_dir, replicate)
 
     def pipeline_events():
+        # One file per input split (maxPartitionBytes above): 256 parse tasks,
+        # zero shuffle before the class agg — identical plan at every
+        # parallelism level.
         tokens = spark.read.parquet(tokens_path)
-        # The bench corpus is a few MB, so the file scan bin-packs everything
-        # into 1-2 input splits (openCostInBytes); spread the docs so the
-        # parse stage uses all cores.  At production scale the input files
-        # are >= maxPartitionBytes and this shuffle is unnecessary.
-        tokens = tokens.repartition(2 * cpus)
         return promote_metrics(with_fingerprint(parse_slowlog(tokens)))
 
-    # Warmup: JVM + codegen + Arrow paths.
-    _materialize(pipeline_events().limit(2000))
+    # Warmup: one full materialization — warms JVM codegen, Arrow paths, and
+    # every reused Python worker (first-task page-fault/alloc warmup is a
+    # fixed per-worker cost that is irrelevant at production scale).
+    _materialize(class_digest(pipeline_events(), mode="sketch"))
 
     timings: dict[str, float] = {}
 

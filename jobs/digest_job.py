@@ -1,0 +1,73 @@
+"""spark-submit entry point: the parser-cli equivalent as a cluster job.
+
+    spark-submit --py-files $(python -c 'from mysql_log_parser_spark.session \
+        import package_zip; print(package_zip())') \
+      jobs/digest_job.py --input /path/tokens_parquet --output /path/out \
+      [--mode sketch|exact] [--filter-admin Quit,Ping] [--routed] [--report]
+
+Reads the tokens table, runs parse -> fingerprint -> enrich-ready events,
+writes per-source routed events plus class/global digests, optionally prints
+the text report.  All progress is chunk-resumable when --incremental is given
+(input treated as a directory of chunk files; manifest under --output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="sketch", choices=["sketch", "exact"])
+    ap.add_argument("--filter-admin", default="")
+    ap.add_argument("--routed", action="store_true")
+    ap.add_argument("--report", action="store_true")
+    ap.add_argument("--incremental", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from mysql_log_parser_spark.operators.aggregate import class_digest, global_digest
+    from mysql_log_parser_spark.operators.checkpoint import CheckpointedRunner
+    from mysql_log_parser_spark.pipeline import SlowLogPipeline
+    from mysql_log_parser_spark.session import build_session
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name="mlp-digest-job")
+    admin_filter = tuple(x for x in args.filter_admin.split(",") if x)
+    pipe = SlowLogPipeline(spark, admin_filter=admin_filter, mode=args.mode)
+
+    t0 = time.perf_counter()
+    if args.incremental:
+        runner = CheckpointedRunner(spark, args.output)
+        runner.run_incremental(args.input, pipe.events)
+        ev = runner.events()
+    else:
+        ev = pipe.events(spark.read.parquet(args.input))
+        if args.routed:
+            pipe.route(ev, f"{args.output}/routed")
+            ev = spark.read.parquet(f"{args.output}/routed")
+
+    class_digest(ev, mode=args.mode).write.mode("overwrite").parquet(
+        f"{args.output}/class_digest"
+    )
+    global_digest(ev, mode=args.mode).write.mode("overwrite").parquet(
+        f"{args.output}/global_digest"
+    )
+    elapsed = time.perf_counter() - t0
+
+    if args.report:
+        from mysql_log_parser_spark.report import digest_report
+
+        print(digest_report(ev, elapsed_sec=elapsed))
+    if not pre_existing:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -278,6 +278,100 @@ SELECT o_orderkey, fingerprint, upper(substr(md5(fingerprint), 17, 16)) AS class
 """
 
 
+def q_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form EventStats over the exploded dynamic metric maps (the
+    reference's per-metric-name accumulators, stats.go:8-12)."""
+    from mysql_log_parser_spark.operators.aggregate import stats_long
+
+    ev = parsed_events(spark, sf_dir)
+    st = stats_long(ev, group_cols=("class_id",), mode="exact")
+    d = lambda c: F.col(c).cast("double").alias(c)  # noqa: E731
+    return st.select(
+        "class_id", "kind", "metric", F.col("cnt").cast("long").alias("cnt"),
+        d("sum"), d("min"), d("avg"), d("pct95"), d("med"), d("max"),
+    )
+
+
+O_STATS_LONG = _ORACLE_EVENTS_CTE + """
+, base AS (
+  SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id, qt, rows_sent, rows_examined
+  FROM e
+), t AS (
+  SELECT class_id, 'time' AS kind, m.metric,
+         count(*) AS cnt,
+         sum(CASE WHEN m.metric = 'Query_time' THEN qt ELSE 0.0 END) AS sum,
+         min(CASE WHEN m.metric = 'Query_time' THEN qt ELSE 0.0 END) AS min,
+         avg(CASE WHEN m.metric = 'Query_time' THEN qt ELSE 0.0 END) AS avg,
+         CASE WHEN m.metric = 'Query_time'
+              THEN list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] ELSE 0.0 END AS pct95,
+         CASE WHEN m.metric = 'Query_time'
+              THEN list_sort(list(qt))[CAST(50*count(*)//100 AS INT)+1] ELSE 0.0 END AS med,
+         max(CASE WHEN m.metric = 'Query_time' THEN qt ELSE 0.0 END) AS max
+  FROM base, (SELECT unnest(['Query_time', 'Lock_time']) AS metric) m
+  GROUP BY class_id, m.metric
+), n AS (
+  SELECT class_id, 'number' AS kind, metric,
+         count(*) AS cnt,
+         CAST(sum(v) AS DOUBLE) AS sum,
+         CAST(min(v) AS DOUBLE) AS min,
+         CAST(floor(sum(v)/count(*)) AS DOUBLE) AS avg,
+         CAST(list_sort(list(v))[CAST(95*count(*)//100 AS INT)+1] AS DOUBLE) AS pct95,
+         CAST(list_sort(list(v))[CAST(50*count(*)//100 AS INT)+1] AS DOUBLE) AS med,
+         CAST(max(v) AS DOUBLE) AS max
+  FROM (
+    SELECT class_id, 'Rows_sent' AS metric, rows_sent AS v FROM base
+    UNION ALL
+    SELECT class_id, 'Rows_examined', rows_examined FROM base
+  ) x
+  GROUP BY class_id, metric
+)
+SELECT class_id, kind, metric, cnt, sum, min, avg, pct95, med, max FROM t
+UNION ALL
+SELECT class_id, kind, metric, cnt, sum, min, avg, pct95, med, max FROM n
+"""
+
+
+def q_top_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report filter: classes with > 10% of total traffic (parser-cli.go:139)."""
+    ev = parsed_events(spark, sf_dir)
+    total = ev.count()
+    return (
+        ev.groupBy("class_id")
+        .agg(F.first("fingerprint").alias("fingerprint"), F.count(F.lit(1)).alias("total_queries"))
+        .where(F.col("total_queries") > F.lit(total) / 10)
+    )
+
+
+O_TOP_CLASSES = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries
+FROM e GROUP BY fingerprint
+HAVING count(*) > (SELECT count(*) FROM e) / 10
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width Query_time histogram (the GKq.Histo(20) report,
+    parser-cli.go:137) as a width_bucket-style aggregation."""
+    from mysql_log_parser_spark.operators.aggregate import histogram
+
+    ev = parsed_events(spark, sf_dir).withColumn(
+        "query_time", F.col("query_time").cast("double")
+    )
+    return histogram(ev, "query_time", buckets=20).select(
+        F.col("bucket").cast("long").alias("bucket"), F.col("cnt")
+    )
+
+
+O_HISTOGRAM = _ORACLE_EVENTS_CTE + """
+, b AS (SELECT min(qt) AS lo, max(qt) AS hi FROM e)
+SELECT CAST(least(floor((qt - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM e, b GROUP BY 1
+"""
+
+
 QUERIES = {
     "slow_parse_events": (q_parse_events, O_PARSE_EVENTS),
     "slow_class_agg": (q_class_agg, O_CLASS_AGG),
@@ -285,4 +379,7 @@ QUERIES = {
     "slow_route_counts": (q_route_counts, O_ROUTE_COUNTS),
     "slow_enrich_team_agg": (q_enrich_team_agg, O_ENRICH_TEAM_AGG),
     "fingerprint_checksum": (q_fingerprint_checksum, O_FINGERPRINT_CHECKSUM),
+    "slow_stats_long": (q_stats_long, O_STATS_LONG),
+    "slow_top_classes": (q_top_classes, O_TOP_CLASSES),
+    "slow_histogram": (q_histogram, O_HISTOGRAM),
 }

@@ -1,0 +1,419 @@
+"""Driver-contract queries for the training-data operators (dedup,
+similarity search, text analysis) over the `documents` and `embeddings`
+tables, each with an independent DuckDB oracle.
+
+Where the corpus lacks interesting structure (no duplicates), both sides
+inject the SAME deterministic mutations (id-shifted copies) so the operators
+have something to find.
+
+Engine-portability rules used throughout:
+- hashing via md5 hex strings (never engine-native hash functions)
+- hex-digit parity via strpos('0123456789abcdef', ...) instead of bit ops
+- float embedding math in double after an explicit cast, cosine rounded to
+  6 decimals before ranking (rank ties broken by neighbor id)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_log_parser_spark.textops.dedup import (
+    exact_duplicates,
+    jaccard,
+    lsh_candidate_pairs,
+    simhash,
+    with_minhash,
+    word_shingles,
+)
+from mysql_log_parser_spark.textops.quality import (
+    STOPWORDS,
+    language_id,
+    quality_features,
+    rolling_fingerprint,
+    stopword_hits,
+    token_counts,
+    words_of,
+)
+from mysql_log_parser_spark.textops.similarity import cosine
+
+HEXD = "0123456789abcdef"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- 1. exact dedup -----------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dupes))
+
+
+O_DEDUP_EXACT = """
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS content_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM c GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# -- 2. quality features ------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+    )
+
+
+_ALL_SW = "[" + ", ".join(f"'{w}'" for v in STOPWORDS.values() for w in v) + "]"
+
+O_TEXT_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text) AS punct_ratio,
+       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       len(list_filter(words, x -> list_contains({_ALL_SW}, x))) / len(words) AS stopword_ratio,
+       length(array_to_string(words, '')) / len(words) AS mean_word_len
+FROM w
+"""
+
+
+# -- 3. language id -----------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    w = words_of(t)
+    return d.select(
+        "doc_id",
+        *[stopword_hits(w, lang).cast("long").alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
+        language_id(t).alias("lang_guess"),
+    )
+
+
+def _o_lang_id() -> str:
+    scores = []
+    for lang in sorted(STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        scores.append(
+            f"CAST(len(list_filter(list_distinct(words), x -> list_contains({lst}, x))) AS BIGINT) AS score_{lang}"
+        )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(scores)} FROM w
+)
+SELECT *, CASE
+    WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) THEN 'fr'
+    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+    ELSE 'de'
+  END AS lang_guess
+FROM s
+"""
+
+
+O_LANG_ID = _o_lang_id()
+
+
+# -- 4. token counts + rolling fingerprint -------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    tc = token_counts(t)
+    return d.select(
+        "doc_id",
+        tc["ws_tokens"].alias("ws_tokens"),
+        tc["bpe_tokens"].alias("bpe_tokens"),
+        rolling_fingerprint(t).alias("fingerprint64"),
+    )
+
+
+O_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(text, '(?s).'), c -> CAST(unicode(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS fingerprint64
+FROM documents
+"""
+
+
+# -- 5. simhash ----------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+def _o_simhash(bits: int = 16) -> str:
+    votes = []
+    for j in range(bits):
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> ((strpos('{HEXD}', h[{j + 1}:{j + 1}]) - 1) % 2) * 2 - 1)) > 0 THEN {2**j} ELSE 0 END"
+        )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> md5(x)) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST({' + '.join(votes)} AS BIGINT) AS simhash FROM w
+"""
+
+
+O_SIMHASH = _o_simhash()
+
+
+# -- 6. minhash LSH near-dup pairs ----------------------------------------------
+
+_MH, _BANDS, _NGRAM, _THRESH = 8, 4, 3, 0.5
+
+
+def _mutated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    nd = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    )
+    return d.unionByName(nd)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mutated_docs(spark, sf_dir)
+    sigs = with_minhash(docs, "text", n=_NGRAM, num_hashes=_MH)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MH, bands=_BANDS)
+    sh = docs.select("doc_id", word_shingles(F.col("text"), _NGRAM).alias("sh"))
+    return (
+        cands.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= _THRESH)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _o_minhash_pairs() -> str:
+    rows = _MH // _BANDS
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}" for i in range(_MH)
+    )
+    bands = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded" for b in range(_BANDS)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz qqq' FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - {_NGRAM - 1}, 0)),
+           i -> array_to_string(ws[i:i + {_NGRAM - 1}], ' ')
+         )) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM c)
+), sigs AS (
+  SELECT doc_id, {mh} FROM sh
+), banded AS (
+  SELECT doc_id, {bands} FROM sigs
+), long AS (
+  {band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+         / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+      / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= {_THRESH}
+"""
+
+
+O_MINHASH_PAIRS = _o_minhash_pairs()
+
+
+# -- 7. ANN: brute-force cosine top-k -------------------------------------------
+
+_K = 5
+_NQ = 8  # query vectors: vec_id < 8
+
+
+def _as_double(c) -> F.Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos6", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "cos6", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+O_ANN_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos6
+  FROM e q JOIN e n ON q.vec_id < {_NQ} AND n.vec_id != q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos6, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+# -- 8. embedding near-dup pairs (LSH-bucketed, exact-dup injection) ------------
+
+_PLANES = 6
+_DIM = 64
+_DUP_MOD = 11
+_COS_T = 0.95
+
+
+def _plane_literals(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +/-1 hyperplanes from md5 parity — precomputed so both
+    engines embed the same literals."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"p{p}d{j}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    dupes = e.where(F.col("vec_id") % _DUP_MOD == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    corpus = e.unionByName(dupes)
+    planes = _plane_literals(_PLANES, _DIM)
+    sig = F.lit(0)
+    for p, row in enumerate(planes):
+        lit_arr = F.array(*[F.lit(x) for x in row])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), lit_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
+    s = corpus.withColumn("bucket", sig)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos6", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .where(F.col("cos6") >= _COS_T)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6"
+        )
+    )
+
+
+def _o_embed_near_dup() -> str:
+    planes = _plane_literals(_PLANES, _DIM)
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product(v, {planes[p]}) > 0 THEN {2**p} ELSE 0 END"
+        for p in range(_PLANES)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % {_DUP_MOD} = 0
+), s AS (
+  SELECT vec_id, v, {bits} AS bucket FROM c
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos6
+FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {_COS_T}
+"""
+
+
+O_EMBED_NEAR_DUP = _o_embed_near_dup()
+
+
+TEXTOPS_QUERIES = {
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "lang_id": (q_lang_id, O_LANG_ID),
+    "token_stats": (q_token_stats, O_TOKEN_STATS),
+    "simhash_docs": (q_simhash, O_SIMHASH),
+    "minhash_lsh_pairs": (q_minhash_pairs, O_MINHASH_PAIRS),
+    "ann_cosine_topk": (q_ann_topk, O_ANN_TOPK),
+    "embed_near_dup": (q_embed_near_dup, O_EMBED_NEAR_DUP),
+}

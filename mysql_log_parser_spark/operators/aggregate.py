@@ -56,10 +56,13 @@ def _metric_stats(v: Column, mode: str, integer: bool) -> list[Column]:
     else:
         s = F.sum(v.cast("double"))
         avg = s / cnt
-    return [cnt, s, F.min(v), avg, p95, med, F.max(v)]
+    # Stddev is declared but never computed in the reference (always 0,
+    # stats.go:119-127); parity mode reproduces that, sketch mode computes it.
+    sd = F.lit(0.0) if mode == "exact" else F.coalesce(F.stddev_pop(v), F.lit(0.0))
+    return [cnt, s, F.min(v), avg, p95, med, F.max(v), sd]
 
 
-_STAT_NAMES = ("cnt", "sum", "min", "avg", "pct95", "med", "max")
+_STAT_NAMES = ("cnt", "sum", "min", "avg", "pct95", "med", "max", "stddev")
 
 
 def stats_long(events: DataFrame, group_cols: tuple[str, ...] = (), mode: str = "exact") -> DataFrame:

@@ -5,8 +5,14 @@ parser (/root/reference/log/parser/slow.go:73-323).  The reference walks a
 byte stream line-by-line with three states (idle / inHeader / inQuery) and
 emits events on state transitions.  Here each input row is one self-contained
 log *document* (event boundaries never cross docs), so the scan is
-embarrassingly parallel: one `mapInPandas` pass, vectorized with numpy/pandas
+embarrassingly parallel: one `mapInArrow` pass, vectorized with numpy/pandas
 inside each Arrow batch — no per-row Python UDFs, no line-level shuffle.
+
+Arrow-native I/O: token arrays are decoded via one bulk buffer copy per
+batch, and the three dynamic metric maps are emitted as Arrow MapArrays
+built directly from long-form (event, name, value) numpy arrays with
+searchsorted offsets — no per-event Python dicts anywhere (per-dict
+pandas->Arrow conversion was a 10x tax at 10^6-event scale).
 
 State machine transitions (slow.go:124-132, 152-243, 270-289) collapse to a
 vectorizable form because the automaton is reset-dominated:
@@ -41,6 +47,7 @@ from typing import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,7 +65,7 @@ from pyspark.sql.types import (
 # Regexes, 1:1 with slow.go:16-21 (Python `\Z` == Go `\z`).
 TIME_RE = re.compile(r"Time: (\S+\s{1,2}\S+)", re.ASCII)
 USER_RE = re.compile(r"User@Host: ([^\[]+|\[[^[]+\]).*?@ (\S*) \[(.*)\]", re.ASCII)
-HEADER_RE = re.compile(r"#\s+[A-Z]", re.ASCII)  # anchored via str.match (== Go ^ semantics)
+HEADER_RE = re.compile(r"#\s+[A-Z]", re.ASCII)  # anchored via .match (== Go ^ semantics)
 METRICS_RE = re.compile(r"(\w+): (\S+|\Z)", re.ASCII)
 ADMIN_RE = re.compile(r"command: (.+)", re.ASCII)
 SET_RE = re.compile(r"SET (?:last_insert_id|insert_id|timestamp)")
@@ -87,45 +94,39 @@ EVENT_SCHEMA = StructType(
     ]
 )
 
-_EMPTY_EVENTS = pd.DataFrame(
-    {
-        "doc_id": pd.Series(dtype=object),
-        "source": pd.Series(dtype=object),
-        "event_idx": pd.Series(dtype="int32"),
-        "offset": pd.Series(dtype="int64"),
-        "ts": pd.Series(dtype=object),
-        "admin": pd.Series(dtype=bool),
-        "query": pd.Series(dtype=object),
-        "user": pd.Series(dtype=object),
-        "host": pd.Series(dtype=object),
-        "db": pd.Series(dtype=object),
-        "rate_type": pd.Series(dtype=object),
-        "rate_limit": pd.Series(dtype="int32"),
-        "time_metrics": pd.Series(dtype=object),
-        "number_metrics": pd.Series(dtype=object),
-        "bool_metrics": pd.Series(dtype=object),
-    }
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("event_idx", pa.int32()),
+        ("offset", pa.int64()),
+        ("ts", pa.string()),
+        ("admin", pa.bool_()),
+        ("query", pa.string()),
+        ("user", pa.string()),
+        ("host", pa.string()),
+        ("db", pa.string()),
+        ("rate_type", pa.string()),
+        ("rate_limit", pa.int32()),
+        ("time_metrics", pa.map_(pa.string(), pa.float32())),
+        ("number_metrics", pa.map_(pa.string(), pa.int64())),
+        ("bool_metrics", pa.map_(pa.string(), pa.bool_())),
+    ]
 )
 
+_EMPTY_LONG = (np.empty(0, dtype=np.int64), np.empty(0, dtype=object), np.empty(0))
 
-def _decode_tokens(tokens) -> str:
-    return np.asarray(tokens, dtype=np.int64).astype(np.uint8).tobytes().decode("utf-8")
+
+def _empty_batch() -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array([], type=f.type) for f in _ARROW_SCHEMA], schema=_ARROW_SCHEMA
+    )
 
 
 def _group_bounds(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(unique keys, group start, group end) over a non-decreasing key array."""
     b = np.flatnonzero(np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))
     return sorted_keys[b], b, np.append(b[1:], len(sorted_keys))
-
-
-def _dicts_by_key(keys: np.ndarray, names: np.ndarray, values: np.ndarray) -> pd.Series:
-    """Build {name: value} dicts per key group (keys non-decreasing, group
-    entries in occurrence order so dict insertion reproduces last-wins map
-    overwrite semantics)."""
-    uk, a, b = _group_bounds(keys)
-    return pd.Series(
-        [dict(zip(names[i:j], values[i:j])) for i, j in zip(a, b)], index=uk, dtype=object
-    )
 
 
 def _split_doc(text: str, start_offset: int) -> tuple[list[str], np.ndarray, np.ndarray]:
@@ -152,23 +153,47 @@ def _split_doc(text: str, start_offset: int) -> tuple[list[str], np.ndarray, np.
     return lines, starts + (starts != 0), lens  # +1 quirk (slow.go:96-100)
 
 
-def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFrame:
-    n_docs = len(pdf)
-    if n_docs == 0:
-        return _EMPTY_EVENTS.copy()
+def _dedup_last(eids: np.ndarray, names: np.ndarray) -> np.ndarray:
+    """Mask keeping the LAST occurrence per (eid, name) — map overwrite
+    semantics (later metric lines win, dict-insert order in the reference)."""
+    if len(eids) == 0:
+        return np.empty(0, dtype=bool)
+    return ~pd.DataFrame({"e": eids, "n": names}).duplicated(keep="last").to_numpy()
 
-    doc_ids = pdf["doc_id"].tolist()
-    sources = pdf["source"].tolist() if "source" in pdf.columns else [""] * n_docs
-    if "text" in pdf.columns:
-        texts = pdf["text"].tolist()
-    else:
-        texts = [_decode_tokens(t) for t in pdf["tokens"]]
-    start_offsets = (
-        pdf["start_offset"].fillna(0).astype("int64").tolist()
-        if "start_offset" in pdf.columns
-        else [0] * n_docs
+
+def _map_array(
+    out_eids: np.ndarray,
+    eids: np.ndarray,
+    names: np.ndarray,
+    values: np.ndarray,
+    item_type: pa.DataType,
+) -> pa.MapArray:
+    """Arrow MapArray for the emitted events: long-form entries (eid-sorted)
+    sliced per event via searchsorted offsets.  No per-row Python."""
+    n_out = len(out_eids)
+    if len(eids):
+        pos = np.searchsorted(out_eids, eids)
+        pos_c = np.minimum(pos, max(n_out - 1, 0))
+        keep = (pos < n_out) & (out_eids[pos_c] == eids)
+        eids, names, values = eids[keep], names[keep], values[keep]
+    offsets = np.empty(n_out + 1, dtype=np.int32)
+    offsets[:-1] = np.searchsorted(eids, out_eids, side="left")
+    offsets[-1] = len(eids)
+    return pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(names, pa.string()),
+        pa.array(values, item_type),
     )
 
+
+def _parse_core(
+    doc_ids: list,
+    sources: list,
+    texts: list,
+    start_offsets: list,
+    admin_filter: frozenset[str],
+) -> pa.RecordBatch:
+    n_docs = len(doc_ids)
     all_lines: list[str] = []
     all_offs: list[np.ndarray] = []
     all_lens: list[np.ndarray] = []
@@ -181,7 +206,7 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
             all_lens.append(lens)
             doc_idx_parts.append(np.full(len(lines), di, dtype=np.int64))
     if not all_lines:
-        return _EMPTY_EVENTS.copy()
+        return _empty_batch()
 
     offs = np.concatenate(all_offs)
     blen = np.concatenate(all_lens)  # byte lengths incl '\n'
@@ -194,21 +219,19 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
     ) & (blen >= 20)
     keep = ~meta
     lines_arr = np.array(all_lines, dtype=object)[keep]
-    s = pd.Series(lines_arr, dtype=object)
     offs, doc_idx = offs[keep], doc_idx[keep]
-    if len(s) == 0:
-        return _EMPTY_EVENTS.copy()
+    n = len(lines_arr)
+    if n == 0:
+        return _empty_batch()
 
     # Line classification (slow.go:18, 231).
     h_match = HEADER_RE.match
-    n = len(lines_arr)
     H = np.fromiter((bool(h_match(l)) for l in lines_arr), dtype=bool, count=n)
     A = np.fromiter(
         (l.startswith("# admin") for l in lines_arr), dtype=bool, count=n
     )  # disjoint from H (lowercase 'a')
 
     # State derivation: grouped forward-fill of the last control line.
-    n = len(s)
     ctrl = np.where(H, 1, np.where(A, 2, 0)).astype(np.float64)
     ctrl[ctrl == 0] = np.nan
     lc = pd.Series(ctrl).groupby(doc_idx).ffill()  # last control at/<= i (NaN=none)
@@ -226,49 +249,37 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
     # Which lines are live (processed by the automaton)?
     a_live = A & (lc_prev == 1)  # admin line only when state != idle (slow.go:124-132)
     q_live = (~H) & (~A) & (lc == 1)  # other line in header/query state
-    live = H | a_live | q_live
-    live &= eid > 0
+    live = (H | a_live | q_live) & (eid > 0)
 
-    lf = pd.DataFrame(
-        {
-            "line": s,
-            "off": offs,
-            "doc": doc_idx,
-            "eid": eid,
-            "H": H,
-            "A": A & a_live,
-            "Q": q_live,
-            "start": event_start,
-        }
-    )[live]
-    if len(lf) == 0:
-        return _EMPTY_EVENTS.copy()
+    l_lines = lines_arr[live]
+    l_offs = offs[live]
+    l_doc = doc_idx[live]
+    l_eid = eid[live]
+    l_H = H[live]
+    l_A = (A & a_live)[live]
+    l_Q = q_live[live]
+    l_start = event_start[live]
+    if len(l_lines) == 0:
+        return _empty_batch()
 
-    # ---- per-event skeleton -------------------------------------------------
-    starts = lf[lf["start"]]
+    # ---- per-event skeleton (index = eid, ascending) -------------------------
     ev = pd.DataFrame(
-        {"doc": starts["doc"].to_numpy(), "offset": starts["off"].to_numpy()},
-        index=starts["eid"].to_numpy(),
+        {"doc": l_doc[l_start], "offset": l_offs[l_start]}, index=l_eid[l_start]
     )
-    ev.index.name = "eid"
 
-    # ---- header lines -------------------------------------------------------
-    hl = lf[lf["H"]]
-    hlines = hl["line"].to_numpy()
-    heids = hl["eid"].to_numpy()
-    is_time = np.fromiter(
-        (l.startswith("# Time") for l in hlines), dtype=bool, count=len(hlines)
-    )
-    is_user = np.fromiter(
-        (l.startswith("# User") for l in hlines), dtype=bool, count=len(hlines)
-    )
+    # ---- header lines ---------------------------------------------------------
+    hlines = l_lines[l_H]
+    heids = l_eid[l_H]
+    nh = len(hlines)
+    is_time = np.fromiter((l.startswith("# Time") for l in hlines), dtype=bool, count=nh)
+    is_user = np.fromiter((l.startswith("# User") for l in hlines), dtype=bool, count=nh)
 
     if is_time.any():
         t_eids, t_vals = [], []
-        for eid, l in zip(heids[is_time], hlines[is_time]):
+        for e, l in zip(heids[is_time], hlines[is_time]):
             m = TIME_RE.search(l)
             if m:
-                t_eids.append(eid)
+                t_eids.append(e)
                 t_vals.append(m.group(1))
         if t_eids:
             uk, _, b = _group_bounds(np.asarray(t_eids))
@@ -276,10 +287,10 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
     ul_mask = is_user | is_time
     if ul_mask.any():
         u_eids, u_user, u_host = [], [], []
-        for eid, l in zip(heids[ul_mask], hlines[ul_mask]):
+        for e, l in zip(heids[ul_mask], hlines[ul_mask]):
             m = USER_RE.search(l)
             if m:
-                u_eids.append(eid)
+                u_eids.append(e)
                 u_user.append(m.group(1))
                 u_host.append(m.group(2))
         if u_eids:
@@ -287,68 +298,65 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
             ev["user"] = pd.Series(np.asarray(u_user, dtype=object)[b - 1], index=uk)
             ev["host"] = pd.Series(np.asarray(u_host, dtype=object)[b - 1], index=uk)
 
-    # ---- metrics lines (findall + typing, slow.go:196-222) ------------------
+    # ---- metrics lines (findall + typing, slow.go:196-222) --------------------
+    t_long = n_long = b_long = _EMPTY_LONG
     ml_mask = ~is_time & ~is_user
-    tmaps: pd.Series = pd.Series(dtype=object)
-    nmaps: pd.Series = pd.Series(dtype=object)
-    bmaps: pd.Series = pd.Series(dtype=object)
     if ml_mask.any():
         m_eids, m_names, m_vals = [], [], []
         findall = METRICS_RE.findall
-        for eid, l in zip(heids[ml_mask], hlines[ml_mask]):
+        for e, l in zip(heids[ml_mask], hlines[ml_mask]):
             for nm, vl in findall(l):
-                m_eids.append(eid)
+                m_eids.append(e)
                 m_names.append(nm)
                 m_vals.append(vl)
         if m_eids:
-            ex = pd.DataFrame(
-                {
-                    "eid": np.asarray(m_eids),
-                    "name": np.asarray(m_names, dtype=object),
-                    "value": np.asarray(m_vals, dtype=object),
-                }
-            )
-            name, value = ex["name"], ex["value"]
+            ex_e = np.asarray(m_eids)
+            ex_n = np.asarray(m_names, dtype=object)
+            ex_v = pd.Series(np.asarray(m_vals, dtype=object))
+            name = pd.Series(ex_n)
             k_time = (name.str.endswith("_time") | name.str.endswith("_wait")).to_numpy()
-            k_bool = (~k_time) & (value.isin(("Yes", "No"))).to_numpy()
-            k_schema = (~k_time) & (~k_bool) & (name == "Schema").to_numpy()
-            k_rt = (~k_time) & (~k_bool) & (name == "Log_slow_rate_type").to_numpy()
-            k_rl = (~k_time) & (~k_bool) & (name == "Log_slow_rate_limit").to_numpy()
+            k_bool = (~k_time) & ex_v.isin(("Yes", "No")).to_numpy()
+            k_schema = (~k_time) & (~k_bool) & (ex_n == "Schema")
+            k_rt = (~k_time) & (~k_bool) & (ex_n == "Log_slow_rate_type")
+            k_rl = (~k_time) & (~k_bool) & (ex_n == "Log_slow_rate_limit")
             k_num = ~(k_time | k_bool | k_schema | k_rt | k_rl)
 
-            def _last_map(sub: pd.DataFrame, conv) -> pd.Series:
-                if len(sub) == 0:
-                    return pd.Series(dtype=object)
-                return _dicts_by_key(
-                    sub["eid"].to_numpy(),
-                    sub["name"].to_numpy(),
-                    conv(sub["value"]).to_numpy(),
-                )
+            def _long(mask: np.ndarray, conv) -> tuple:
+                if not mask.any():
+                    return _EMPTY_LONG
+                e, nm, v = ex_e[mask], ex_n[mask], conv(ex_v[mask])
+                dd = _dedup_last(e, nm)
+                return e[dd], nm[dd], np.asarray(v)[dd]
 
-            def _f32(v: pd.Series) -> pd.Series:
+            def _f32(v: pd.Series) -> np.ndarray:
                 # ParseFloat(x, 32): float32 rounding; parse error -> 0 (slow.go:201)
                 return (
-                    pd.to_numeric(v, errors="coerce")
-                    .fillna(0.0)
-                    .astype(np.float32)
-                    .astype("float64")
+                    pd.to_numeric(v, errors="coerce").fillna(0.0).to_numpy().astype(np.float32)
                 )
 
-            def _u64(v: pd.Series) -> pd.Series:
+            def _u64(v: pd.Series) -> np.ndarray:
                 # ParseUint errors -> 0 (slow.go:219); clamp to int64 range
                 ok = v.str.match(_UINT_RE).fillna(False)
                 out = pd.to_numeric(v.where(ok, "0"), errors="coerce").fillna(0)
-                return out.clip(upper=np.iinfo(np.int64).max).astype("int64")
+                return out.clip(upper=np.iinfo(np.int64).max).to_numpy().astype("int64")
 
-            tmaps = _last_map(ex[k_time], _f32)
-            nmaps = _last_map(ex[k_num], _u64)
-            bmaps = _last_map(ex[k_bool], lambda v: v == "Yes")
+            t_long = _long(k_time, _f32)
+            n_long = _long(k_num, _u64)
+            b_long = _long(k_bool, lambda v: (v == "Yes").to_numpy())
 
-            sch = ex[k_schema].groupby("eid")["value"].last()
-            ev["db_schema"] = sch
-            rt = ex[k_rt].groupby("eid")["value"].last()
-            ev["rate_type"] = rt
-            rl = ex[k_rl].groupby("eid")["value"].last()
+            def _last_scalar(mask: np.ndarray) -> pd.Series:
+                if not mask.any():
+                    return pd.Series(dtype=object)
+                uk, _, b = _group_bounds(ex_e[mask])
+                return pd.Series(ex_v.to_numpy()[mask][b - 1], index=uk)
+
+            sch = _last_scalar(k_schema)
+            if len(sch):
+                ev["db_schema"] = sch
+            rt = _last_scalar(k_rt)
+            if len(rt):
+                ev["rate_type"] = rt
+            rl = _last_scalar(k_rl)
             if len(rl):
                 ok = rl.str.match(_UINT_RE).fillna(False)
                 ev["rate_limit"] = (
@@ -356,25 +364,20 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
                     % 256
                 )
 
-    # ---- query-ish lines (slow.go:245-267) -----------------------------------
-    ql = lf[lf["Q"]]
-    if len(ql):
-        qlines_all = ql["line"].to_numpy()
-        qeids_all = ql["eid"].to_numpy()
+    # ---- query-ish lines (slow.go:245-267) -------------------------------------
+    if l_Q.any():
+        qlines_all = l_lines[l_Q]
+        qeids_all = l_eid[l_Q]
         nq = len(qlines_all)
         set_search = SET_RE.search
-        is_set = np.fromiter(
-            (bool(set_search(l)) for l in qlines_all), dtype=bool, count=nq
-        )
-        is_use = np.fromiter(
-            (l.startswith("use ") for l in qlines_all), dtype=bool, count=nq
-        )
+        is_set = np.fromiter((bool(set_search(l)) for l in qlines_all), dtype=bool, count=nq)
+        is_use = np.fromiter((l.startswith("use ") for l in qlines_all), dtype=bool, count=nq)
         base = ~is_set & ~is_use
-        # count of real query lines before/at each position, reset per event
+        # count of real query lines at/<= each position, reset per event
         cum = np.cumsum(base)
-        uk_all, a_all, _ = _group_bounds(qeids_all)
+        _, a_all, _ = _group_bounds(qeids_all)
         grp_start_cum = np.repeat(cum[a_all] - base[a_all], np.diff(np.append(a_all, nq)))
-        bases_before = cum - grp_start_cum  # inclusive of current row (base rows only)
+        bases_before = cum - grp_start_cum
         consumed_use = is_use & (bases_before == 0)
         is_query = base | (is_use & (bases_before > 0))
 
@@ -396,31 +399,31 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
                 ["\n".join(qlines[i:j]) for i, j in zip(a, b)], index=uk, dtype=object
             )
 
-    # ---- admin lines (slow.go:270-289) ---------------------------------------
-    al = lf[lf["A"]]
-    if len(al):
-        cmd = al["line"].str.extract(ADMIN_RE, expand=False)
-        cmd = pd.DataFrame({"eid": al["eid"].to_numpy(), "cmd": cmd.to_numpy()})
-        cmd = cmd.dropna().groupby("eid")["cmd"].last()
-        ev["admin_cmd"] = cmd.str.replace(r";\Z", "", regex=True, n=1)
+    # ---- admin lines (slow.go:270-289) ------------------------------------------
+    if l_A.any():
+        a_eids, a_cmds = [], []
+        for e, l in zip(l_eid[l_A], l_lines[l_A]):
+            m = ADMIN_RE.search(l)
+            if m:
+                a_eids.append(e)
+                c = m.group(1)
+                a_cmds.append(c[:-1] if c.endswith(";") else c)
+        if a_eids:
+            uk, _, b = _group_bounds(np.asarray(a_eids))
+            ev["admin_cmd"] = pd.Series(np.asarray(a_cmds, dtype=object)[b - 1], index=uk)
 
-    # ---- emission + finalize (slow.go:291-323, 135-137) ----------------------
-    for col, default in (
-        ("ts", ""),
-        ("user", ""),
-        ("host", ""),
-        ("db_schema", ""),
-        ("db_use", ""),
-        ("rate_type", ""),
-        ("query", ""),
-        ("admin_cmd", np.nan),
-    ):
+    # ---- emission + finalize (slow.go:291-323, 135-137) --------------------------
+    for col in ("ts", "user", "host", "db_schema", "db_use", "rate_type", "query"):
         if col not in ev.columns:
-            ev[col] = default
+            ev[col] = ""
         else:
-            ev[col] = ev[col].fillna(default) if default == "" else ev[col]
+            ev[col] = ev[col].fillna("")
+    if "admin_cmd" not in ev.columns:
+        ev["admin_cmd"] = np.nan
     if "has_use" not in ev.columns:
         ev["has_use"] = False
+    else:
+        ev["has_use"] = ev["has_use"].fillna(False)
     if "rate_limit" not in ev.columns:
         ev["rate_limit"] = 0
     ev["rate_limit"] = ev["rate_limit"].fillna(0).astype("int32")
@@ -428,52 +431,105 @@ def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFram
         ev["qcount"] = 0
     ev["qcount"] = ev["qcount"].fillna(0).astype("int64")
 
-    ev["time_metrics"] = tmaps.reindex(ev.index)
-    ev["number_metrics"] = nmaps.reindex(ev.index)
-    ev["bool_metrics"] = bmaps.reindex(ev.index)
-    for c in ("time_metrics", "number_metrics", "bool_metrics"):
-        nulls = ev[c].isna()
-        if nulls.any():
-            ev.loc[nulls, c] = pd.Series([{} for _ in range(int(nulls.sum()))]).values
-
     ev["admin"] = ev["admin_cmd"].notna()
     # emit rule: admin-terminated | followed by another event in-doc | has query
     last_in_doc = ~ev["doc"].duplicated(keep="last")
-    emit = ev["admin"] | ~last_in_doc | (ev["qcount"] > 0)
+    emit = ev["admin"].to_numpy() | ~last_in_doc.to_numpy() | (ev["qcount"] > 0).to_numpy()
     # discard events without Query_time (slow.go:305-311)
-    emit &= ev["time_metrics"].map(lambda m: "Query_time" in m)
+    te, tn, _tv = t_long
+    qt_eids = np.unique(te[tn == "Query_time"]) if len(te) else np.empty(0, dtype=np.int64)
+    emit &= np.isin(ev.index.to_numpy(), qt_eids)
     # FilterAdminCommand (slow.go:280-288)
     if admin_filter:
-        emit &= ~(ev["admin"] & ev["admin_cmd"].isin(admin_filter))
+        emit &= ~(ev["admin"] & ev["admin_cmd"].isin(admin_filter)).to_numpy()
     ev = ev[emit]
-    if len(ev) == 0:
-        return _EMPTY_EVENTS.copy()
+    n_out = len(ev)
+    if n_out == 0:
+        return _empty_batch()
 
+    out_eids = ev.index.to_numpy()
     query = np.where(ev["admin"], ev["admin_cmd"].fillna(""), ev["query"])
-    query = pd.Series(query, index=ev.index).str.replace(r";\Z", "", regex=True, n=1)
+    query = np.array(
+        [q[:-1] if q.endswith(";") else q for q in query], dtype=object
+    )  # TrimSuffix(';') once (slow.go:315)
     db = np.where(ev["has_use"], ev["db_use"], ev["db_schema"])
-    db = pd.Series(db, index=ev.index).str.replace(r";\n\Z", "", regex=True, n=1)
+    db = np.array(
+        [d[:-2] if d.endswith(";\n") else d for d in db], dtype=object
+    )  # TrimSuffix(';\n') (slow.go:314)
 
-    out = pd.DataFrame(
-        {
-            "doc_id": ev["doc"].map(lambda d: doc_ids[d]),
-            "source": ev["doc"].map(lambda d: sources[d]),
-            "event_idx": ev.groupby("doc").cumcount().astype("int32"),
-            "offset": ev["offset"].astype("int64"),
-            "ts": ev["ts"],
-            "admin": ev["admin"].astype(bool),
-            "query": query,
-            "user": ev["user"],
-            "host": ev["host"],
-            "db": db,
-            "rate_type": ev["rate_type"],
-            "rate_limit": ev["rate_limit"].astype("int32"),
-            "time_metrics": ev["time_metrics"],
-            "number_metrics": ev["number_metrics"],
-            "bool_metrics": ev["bool_metrics"],
-        }
+    doc_arr = np.array(doc_ids, dtype=object)
+    src_arr = np.array(sources, dtype=object)
+    ev_doc = ev["doc"].to_numpy()
+    event_idx = ev.groupby("doc").cumcount().to_numpy().astype(np.int32)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_arr[ev_doc], pa.string()),
+            pa.array(src_arr[ev_doc], pa.string()),
+            pa.array(event_idx, pa.int32()),
+            pa.array(ev["offset"].to_numpy().astype(np.int64), pa.int64()),
+            pa.array(ev["ts"].to_numpy(), pa.string()),
+            pa.array(ev["admin"].to_numpy(), pa.bool_()),
+            pa.array(query, pa.string()),
+            pa.array(ev["user"].to_numpy(), pa.string()),
+            pa.array(ev["host"].to_numpy(), pa.string()),
+            pa.array(db, pa.string()),
+            pa.array(ev["rate_type"].to_numpy(), pa.string()),
+            pa.array(ev["rate_limit"].to_numpy().astype(np.int32), pa.int32()),
+            _map_array(out_eids, *t_long, pa.float32()),
+            _map_array(out_eids, *n_long, pa.int64()),
+            _map_array(out_eids, *b_long, pa.bool_()),
+        ],
+        schema=_ARROW_SCHEMA,
     )
-    return out.reset_index(drop=True)
+
+
+# -- batch adapters -------------------------------------------------------------
+
+def _batch_inputs(batch: pa.RecordBatch) -> tuple[list, list, list, list]:
+    names = batch.schema.names
+    nd = batch.num_rows
+    doc_ids = batch.column(names.index("doc_id")).to_pylist()
+    sources = (
+        batch.column(names.index("source")).to_pylist() if "source" in names else [""] * nd
+    )
+    if "text" in names:
+        texts = batch.column(names.index("text")).to_pylist()
+    else:
+        arr = batch.column(names.index("tokens"))
+        lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint8)
+        data = flat.tobytes()  # one bulk copy for the whole batch
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        texts = [data[s:e].decode("utf-8") for s, e in zip(starts, ends)]
+    if "start_offset" in names:
+        so = batch.column(names.index("start_offset")).to_pylist()
+        start_offsets = [int(x) if x is not None else 0 for x in so]
+    else:
+        start_offsets = [0] * nd
+    return doc_ids, sources, texts, start_offsets
+
+
+def _parse_batch(pdf: pd.DataFrame, admin_filter: frozenset[str]) -> pd.DataFrame:
+    """Pandas adapter (tests / direct use): same kernel, dict-valued maps."""
+    n = len(pdf)
+    doc_ids = pdf["doc_id"].tolist() if n else []
+    sources = pdf["source"].tolist() if "source" in pdf.columns and n else [""] * n
+    if "text" in pdf.columns:
+        texts = pdf["text"].tolist()
+    else:
+        texts = [
+            np.asarray(t, dtype=np.int64).astype(np.uint8).tobytes().decode("utf-8")
+            for t in pdf["tokens"]
+        ]
+    if "start_offset" in pdf.columns and n:
+        start_offsets = pdf["start_offset"].fillna(0).astype("int64").tolist()
+    else:
+        start_offsets = [0] * n
+    rb = _parse_core(doc_ids, sources, texts, start_offsets, admin_filter)
+    return rb.to_pandas(maps_as_pydicts="strict")
 
 
 def parse_slowlog(
@@ -486,17 +542,17 @@ def parse_slowlog(
     optional `source` (propagated) and `start_offset` (per-doc resume seek,
     the Options.StartOffset equivalent, slow.go:46-49).
 
-    Returns a DataFrame with EVENT_SCHEMA.  One narrow Arrow-vectorized pass;
-    no shuffle.
+    Returns a DataFrame with EVENT_SCHEMA.  One narrow Arrow pass; no shuffle.
     """
     filt = frozenset(admin_filter or ())
     cols = [c for c in ("doc_id", "tokens", "text", "source", "start_offset") if c in df.columns]
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _parse_batch(pdf, filt)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows:
+                yield _parse_core(*_batch_inputs(batch), filt)
 
-    return df.select(*cols).mapInPandas(gen, schema=EVENT_SCHEMA)
+    return df.select(*cols).mapInArrow(gen, schema=EVENT_SCHEMA)
 
 
 def promote_metrics(events: DataFrame) -> DataFrame:

@@ -55,14 +55,23 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         # local mode: driver == executor; default 1g heap starves the
-        # vectorized parquet reader on wide array columns
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # vectorized parquet reader on wide array columns.  NB: oversized
+        # heaps (48g) measurably DESTABILIZE this workload (G1 churns on the
+        # humongous token-array vectors; run-to-run swings of 5x) — 8-16g is
+        # the stable band at local[32].
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Fat array<int32> token rows: the parquet reader's default 4096-row
+        # columnar batches become ~50MB vectors whose reserve/copy cycles
+        # dominate the scan, and oversized Arrow batches starve the Python
+        # workers.  These defaults target token-table scans; override per
+        # workload via extra_conf.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")

@@ -1,0 +1,88 @@
+"""The pipeline's input source: a table of pre-tokenized sequences
+(doc_id string, tokens array<int32>, n_tok int32, source string) —
+BASELINE.json input_hint.
+
+Backed by an Iceberg table when the session has an Iceberg catalog
+configured, else by a parquet directory with the same layout.  The read path
+is identical either way (format string aside); incremental consumption uses
+Iceberg snapshot ids when available, else the chunk-file manifest
+(operators/checkpoint.py).
+
+Scale notes: reads prune to (doc_id, tokens, source) — `n_tok` is only
+scanned when filters need it (e.g. skip empty docs), which Catalyst pushes
+into the parquet scan (check explain: ReadSchema / PushedFilters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+    ]
+)
+
+TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _has_iceberg(spark: SparkSession, name: str) -> bool:
+    return "." in name and spark.conf.get(
+        f"spark.sql.catalog.{name.split('.', 1)[0]}", None
+    ) is not None
+
+
+@dataclass
+class TokensTable:
+    """Reader facade over the tokens input table."""
+
+    spark: SparkSession
+    location: str  # parquet dir, or catalog.db.table for Iceberg
+
+    def read(self, min_tokens: int | None = None, sources: list[str] | None = None) -> DataFrame:
+        if _has_iceberg(self.spark, self.location):
+            df = self.spark.read.format("iceberg").load(self.location)
+        else:
+            df = self.spark.read.schema(TOKENS_SCHEMA).parquet(self.location)
+        missing = {f.name for f in TOKENS_SCHEMA} - set(df.columns)
+        if missing:
+            raise ValueError(f"tokens table missing columns: {sorted(missing)}")
+        if min_tokens is not None:
+            df = df.where(F.col("n_tok") >= min_tokens)  # pushed to the scan
+        if sources:
+            df = df.where(F.col("source").isin(sources))
+        return df
+
+    def read_snapshot_range(self, start_snapshot_id: int, end_snapshot_id: int | None = None) -> DataFrame:
+        """Iceberg incremental read (the Options.StartOffset analogue at
+        table granularity, options.go:4).  Parquet-dir deployments use
+        CheckpointedRunner instead."""
+        if not _has_iceberg(self.spark, self.location):
+            raise NotImplementedError(
+                "snapshot reads need an Iceberg catalog; parquet-dir layouts "
+                "resume via operators.checkpoint.CheckpointedRunner"
+            )
+        r = self.spark.read.format("iceberg").option(
+            "start-snapshot-id", str(start_snapshot_id)
+        )
+        if end_snapshot_id is not None:
+            r = r.option("end-snapshot-id", str(end_snapshot_id))
+        return r.load(self.location)
+
+    def validate_roundtrip(self, sample: int = 100) -> bool:
+        """Per-row token-array invariant: tokens decode to text and re-encode
+        identically (vocab 0..255)."""
+        df = self.read().limit(sample)
+        bad = df.where(
+            (F.array_min("tokens") < 0)
+            | (F.array_max("tokens") > 255)
+            | (F.size("tokens") != F.col("n_tok"))
+        ).count()
+        return bad == 0

@@ -1,0 +1,110 @@
+"""Text analysis: language ID (stopword-hit heuristic), quality scoring,
+token counting, and rolling-hash document fingerprinting — all as native
+Catalyst expressions (portable to any SQL engine for oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny, fixed stopword inventories — the heuristic's spec, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+
+def words_of(text: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+
+
+def stopword_hits(words: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words), sw))
+
+
+def language_scores(text: Column) -> list[Column]:
+    w = words_of(text)
+    return [stopword_hits(w, lang).alias(f"score_{lang}") for lang in STOPWORDS]
+
+
+def language_id(text: Column) -> Column:
+    """argmax language by distinct-stopword hits; 'und' (undetermined) when
+    no stopword matches at all.  Ties break by language-code order."""
+    w = words_of(text)
+    pairs = F.array(*[
+        F.struct(stopword_hits(w, lang).alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)
+    ])
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    w = words_of(text)
+    n_chars = F.length(text)
+    n_words = F.size(w)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    mean_wl = F.when(n_words > 0, (F.length(F.concat_ws("", w)) / n_words)).otherwise(F.lit(0.0))
+    sw_all = F.array(*[F.lit(x) for v in STOPWORDS.values() for x in v])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw_all, x)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)),
+        "mean_word_len": mean_wl,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality heuristic: rewards mid-length docs with low
+    punctuation/digit noise and a healthy stopword rate."""
+    f = quality_features(text)
+    len_score = F.least(f["n_words"] / 100.0, F.lit(1.0))
+    noise = F.greatest(F.lit(0.0), 1.0 - 2.0 * (f["punct_ratio"] + f["digit_ratio"]))
+    sw = F.least(F.lit(1.0), 4.0 * f["stopword_ratio"])
+    return (0.4 * len_score + 0.3 * noise + 0.3 * sw).alias("quality")
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    out = docs
+    for name, col in quality_features(t).items():
+        out = out.withColumn(name, col)
+    return out.withColumn("quality", quality_score(t)).withColumn(
+        "lang_guess", language_id(t)
+    )
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace tokens + a BPE-ish segmentation count (letter runs, digit
+    runs, and single punctuation marks each count as one token)."""
+    ws = F.size(words_of(text))
+    bpe = F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+    return {"ws_tokens": ws.cast("long"), "bpe_tokens": bpe.cast("long")}
+
+
+def rolling_fingerprint(text: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Column:
+    """Polynomial rolling hash over codepoints: h = (h*base + cp) % mod.
+    Engine-portable content fingerprint (order-sensitive, unlike md5 truncation
+    it composes incrementally for chunked docs)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    out = with_quality(docs, text_col)
+    for name, col in token_counts(t).items():
+        out = out.withColumn(name, col)
+    return out.withColumn("fingerprint64", rolling_fingerprint(t))

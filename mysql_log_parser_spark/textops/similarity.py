@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline.  Query side is small
+  (broadcast); the corpus side streams — one pass, no corpus shuffle.  Dot
+  products via zip_with/aggregate stay JVM-side.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (seeded via
+  md5 arithmetic, no RNG state), candidates from bucket equality, exact
+  cosine rerank.  The scale path: candidate generation shuffles bucket keys
+  only.
+- Embedding-cosine near-dup pairs: same kernels, pair output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for each query vector (exact).  `queries` must be
+    small: it is broadcast; the corpus is scanned once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic +/-1 hyperplane from md5 parity (precomputed literals —
+    no RNG state; identical across engines/runs)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"t{table}p{plane}d{j}".encode()).hexdigest()[0], 16) % 2
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
+    """n_planes sign bits of dot(vec, plane) -> int bucket key."""
+    out = F.lit(0)
+    for p in range(n_planes):
+        lit_arr = F.array(*[F.lit(x) for x in _plane(table, p, dim)])
+        d = dot(vec, lit_arr)
+        out = out + F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane ANN: a candidate is any vector sharing a
+    bucket with the query in ANY of `n_tables` independent tables; exact
+    cosine rerank on the deduped candidate set.  Recall/cost tunable via
+    (n_planes, n_tables): fewer planes -> bigger buckets, more tables ->
+    higher recall.  Candidate generation shuffles bucket keys only — never
+    all pairs."""
+    sigs = [
+        hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), *sigs)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), *sigs)
+    c_long = c.select(
+        "neighbor_id", "nvec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("neighbor_id", "nvec", "tb.t", "tb.b")
+    q_long = q.select(
+        "query_id", "qvec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("query_id", "qvec", "tb.t", "tb.b")
+    cands = (
+        c_long.join(F.broadcast(q_long), on=["t", "b"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def near_dup_pairs_cosine(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, LSH-bucketed."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+    s = emb.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,38 @@
+"""Report sink + spark-submit job script surfaces."""
+
+import os
+import sys
+
+from mysql_log_parser_spark import synth
+from mysql_log_parser_spark.pipeline import SlowLogPipeline
+from mysql_log_parser_spark.report import digest_report
+
+
+def test_digest_report(spark, tmp_path):
+    p = str(tmp_path / "tokens.parquet")
+    synth.generate_parquet(p, n_docs=10, events_per_doc=20, seed=3)
+    ev = SlowLogPipeline(spark).events(spark.read.parquet(p))
+    rep = digest_report(ev, elapsed_sec=1.5)
+    assert rep.startswith("Events: 200, time: 1.500000 sec, rate: 133.333333")
+    assert "1.00 pct query time" in rep
+    assert "bucket  0:" in rep
+    assert "Query ID " in rep and "fingerprint: " in rep
+
+
+def test_digest_job_cli(spark, tmp_path):
+    """Drive jobs/digest_job.py main() end-to-end (incremental mode)."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    synth.generate_parquet(str(ind / "c0.parquet"), n_docs=4, events_per_doc=10, seed=9)
+    out = str(tmp_path / "out")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import digest_job
+
+    digest_job.main(
+        ["--input", str(ind), "--output", out, "--mode", "exact", "--incremental"]
+    )
+    cd = spark.read.parquet(f"{out}/class_digest")
+    gd = spark.read.parquet(f"{out}/global_digest").first()
+    assert gd.total_queries == 40
+    assert cd.count() == gd.unique_queries

@@ -1,0 +1,162 @@
+"""Training-data operator tests: dedup (exact/minhash-LSH/simhash/jaccard),
+similarity search (brute-force + LSH ANN recall), text analysis, multimodal
+plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_log_parser_spark.textops import multimodal
+from mysql_log_parser_spark.textops.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs_bruteforce,
+    simhash_buckets,
+)
+from mysql_log_parser_spark.textops.quality import with_text_stats
+from mysql_log_parser_spark.textops.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    near_dup_pairs_cosine,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # inject exact dupes and near dupes deterministically
+    exact = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(exact).unionByName(near).persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def test_exact_dedup(spark, docs):
+    base_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") % 10 == 0
+    ).count()
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == base_n
+    assert all(g.dup_count == 2 for g in groups)
+    assert all(g.keep_id < 10000 for g in groups)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.6, num_hashes=16, bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact dupe pair must be found (jaccard 1.0, identical signatures)
+    expect_exact = {
+        (r.doc_id, r.doc_id + 10000)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    }
+    assert expect_exact <= got
+    # and near-dup pairs (long shared prefix) should mostly be found
+    expect_near = {
+        (r.doc_id, r.doc_id + 20000)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 1).select("doc_id").collect()
+    }
+    found = len(expect_near & got) / max(len(expect_near), 1)
+    assert found >= 0.8, f"near-dup recall {found}"
+
+
+def test_lsh_agrees_with_bruteforce_on_high_threshold(spark, docs):
+    small = docs.limit(60)
+    bf = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs_bruteforce(small, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(small, threshold=0.9, num_hashes=16, bands=8).collect()
+    }
+    assert lsh <= bf  # LSH verified pairs are a subset of brute force
+    assert len(bf - lsh) == 0 or len(bf & lsh) / len(bf) >= 0.9
+
+
+def test_simhash_buckets_exact_dups(spark, docs):
+    b = simhash_buckets(docs)
+    # identical texts share the simhash key, so every exact-dup pair buckets
+    ids = {tuple(r.ids) for r in b.collect()}
+    flat = {i for t in ids for i in t}
+    some_dup = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") % 10 == 0
+    ).first().doc_id
+    assert some_dup in flat and some_dup + 10000 in flat
+
+
+def test_ann_bruteforce_sane(spark, emb):
+    q = emb.where(F.col("vec_id") < 4)
+    topk = cosine_topk_bruteforce(emb, q, k=3).collect()
+    assert len(topk) == 4 * 3
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        coss = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in coss)
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 8)
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = cosine_topk_lsh(emb, q, dim=64, k=5, n_planes=4, n_tables=6).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"multi-table LSH recall {recall} too low"
+
+
+def test_embed_near_dup_pairs(spark, emb):
+    dup = emb.where(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    pairs = near_dup_pairs_cosine(corpus, threshold=0.999, dim=64).collect()
+    expect = {(r.vec_id, r.vec_id + 5000) for r in emb.where(F.col("vec_id") % 13 == 0).collect()}
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert expect <= got
+
+
+def test_text_stats(spark, docs):
+    st = with_text_stats(docs.limit(50))
+    rows = st.collect()
+    for r in rows:
+        assert r.n_words > 0 and r.ws_tokens == r.n_words
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.quality <= 1
+        assert r.bpe_tokens >= r.n_words
+        assert r.fingerprint64 >= 0
+    # fingerprints of identical texts agree; distinct texts (almost surely) differ
+    a = st.first()
+    assert a is not None
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=24)
+    feats = multimodal.extract_features(media, decoder="fake", dim=8)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same bytes -> same features
+    again = {r.id: r.feature for r in multimodal.extract_features(media).collect()}
+    assert all(again[r.id] == r.feature for r in rows)
+    # real decoders are stubbed with a clear error
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
+        multimodal.extract_features(media, decoder="pil").collect()
+    # frame sampling expands video rows JVM-side
+    fs = multimodal.frame_sample(media, every_n=30).collect()
+    assert len(fs) > 0 and all(r.frame_idx % 30 == 0 for r in fs)
