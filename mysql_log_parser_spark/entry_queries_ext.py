@@ -1,0 +1,436 @@
+"""Second wave of driver-contract queries: the remaining SURVEY.md §2
+surfaces (example selection A9, rate-limit consistency A11, admin filtering
+F5, event-time windowing) plus training-data ops not yet exposed (exact
+n-gram Jaccard dedup, multimodal binary feature plumbing, IVF-style ANN).
+
+Each Spark query is paired with an independent DuckDB oracle.  The slow-log
+queries render a second corpus variant (rate-limit header lines, interleaved
+admin-command events, per-event timestamps) and push it through the REAL
+parser; oracles derive expectations straight from the `events` source table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_log_parser_spark.entry_queries import _ORACLE_EVENTS_CTE, parsed_events
+from mysql_log_parser_spark.operators.parse import parse_slowlog, promote_metrics
+from mysql_log_parser_spark.textops.dedup import ngram_jaccard_pairs_bruteforce
+from mysql_log_parser_spark.textops.multimodal import extract_features
+from mysql_log_parser_spark.textops.similarity import cosine
+
+HEXD = "0123456789abcdef"
+EVENTS_PER_DOC = 20
+
+
+# -- extended corpus: rate limits + admin commands + per-event timestamps -----
+
+def _ext_event_text() -> F.Column:
+    """Render one event in Percona slow-log format (slow011.log rate lines,
+    slow009.log admin lines): varying minute, Log_slow_rate_* header line,
+    every 17th event an administrator command instead of a statement."""
+    eid = F.col("event_id")
+    dnum = F.floor(eid / EVENTS_PER_DOC).cast("long")
+    qt = F.round(F.col("value") * 64) / 64
+    u = F.col("user_id") % 8
+    h = F.col("user_id") % 4
+    rl = F.when(dnum % 4 == 3, 10 + eid % 2).otherwise(10 + dnum % 4)
+    header = F.concat(
+        F.format_string("# Time: 240101 10:%02d:00\n", eid % 60),
+        F.format_string("# User@Host: u%d[u%d] @ h%d []\n", u, u, h),
+        F.format_string(
+            "# Query_time: %.6f  Lock_time: 0.000000  Rows_sent: %d  Rows_examined: %d\n",
+            qt, F.col("user_id") % 100, eid % 1000,
+        ),
+        F.format_string("# Log_slow_rate_type: query  Log_slow_rate_limit: %d\n", rl),
+    )
+    body = F.when(eid % 17 == 0, F.lit("# administrator command: Quit;\n")).otherwise(
+        F.format_string("SELECT c FROM t_%s WHERE id=%d;\n", F.col("event_type"), eid)
+    )
+    return F.concat(header, body)
+
+
+def ext_docs_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.select(
+        F.floor(F.col("event_id") / EVENTS_PER_DOC).cast("long").alias("dnum"),
+        F.col("event_id"),
+        _ext_event_text().alias("txt"),
+    )
+    return (
+        per.groupBy("dnum")
+        .agg(
+            F.concat(F.lit("x"), F.col("dnum").cast("string")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id", "txt"))),
+                    lambda x: x["txt"],
+                ),
+                "",
+            ).alias("text"),
+            F.concat(F.lit("s"), (F.col("dnum") % 4).cast("string")).alias("source"),
+        )
+        .drop("dnum")
+    )
+
+
+def ext_parsed_events(
+    spark: SparkSession, sf_dir: str, admin_filter=None
+) -> DataFrame:
+    docs = ext_docs_from_events(spark, sf_dir)
+    return promote_metrics(parse_slowlog(docs, admin_filter=admin_filter))
+
+
+_ORACLE_EXT_CTE = f"""
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         's' || CAST((event_id // {EVENTS_PER_DOC}) % 4 AS VARCHAR) AS source,
+         CAST(event_id % 60 AS BIGINT) AS mm,
+         CAST(round(value*64)/64 AS DOUBLE) AS qt,
+         (event_id % 17 = 0) AS is_admin,
+         CAST(CASE WHEN (event_id // {EVENTS_PER_DOC}) % 4 = 3
+                   THEN 10 + event_id % 2
+                   ELSE 10 + (event_id // {EVENTS_PER_DOC}) % 4 END AS BIGINT) AS rl
+  FROM events
+)
+"""
+
+
+# -- A11: rate-limit consistency (class.go:20-30, 41-55) ----------------------
+
+def q_rate_limit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink rate-limit consistency: a sink whose events carry more than
+    one distinct (rate_type, rate_limit) pair is the MixedRateLimitsError
+    condition (class.go:20-30) surfaced as a flag column."""
+    ev = ext_parsed_events(spark, sf_dir)
+    distinct_rates = F.countDistinct(F.struct("rate_type", "rate_limit"))
+    return ev.groupBy("source").agg(
+        distinct_rates.alias("distinct_rates"),
+        F.min("rate_limit").cast("long").alias("rl_min"),
+        F.max("rate_limit").cast("long").alias("rl_max"),
+        (distinct_rates > 1).alias("mixed"),
+    )
+
+
+O_RATE_LIMIT_CHECK = _ORACLE_EXT_CTE + """
+SELECT source,
+       count(DISTINCT rl) AS distinct_rates,
+       min(rl) AS rl_min,
+       max(rl) AS rl_max,
+       count(DISTINCT rl) > 1 AS mixed
+FROM e GROUP BY source
+"""
+
+
+# -- F5: admin-command filter (options.go:6, slow.go:280-288) -----------------
+
+def q_admin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterAdminCommand={'Quit'}: suppressed events never reach the sink;
+    per-sink surviving-row counts prove the filter semantics."""
+    ev = ext_parsed_events(spark, sf_dir, admin_filter={"Quit"})
+    return ev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+    )
+
+
+O_ADMIN_FILTER = _ORACLE_EXT_CTE + """
+SELECT source, count(*) AS kept_rows, sum(qt) AS qt_sum
+FROM e WHERE NOT is_admin GROUP BY source
+"""
+
+
+# -- event-time windowed aggregation (north-star streaming surface) -----------
+
+def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute event-time tumbling windows over the parsed Ts column — the
+    batch twin of the Structured Streaming path (streaming/pipeline.py)."""
+    ev = ext_parsed_events(spark, sf_dir).withColumn(
+        "ts_parsed", F.to_timestamp("ts", "yyMMdd H:mm:ss")
+    )
+    return (
+        ev.groupBy(F.window("ts_parsed", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+            F.sum(F.col("admin").cast("long")).alias("admin_events"),
+        )
+        .select(
+            (F.floor(F.minute("w.start") / 5)).cast("long").alias("bucket"),
+            "events",
+            "qt_sum",
+            "admin_events",
+        )
+    )
+
+
+O_WINDOW_AGG = _ORACLE_EXT_CTE + """
+SELECT mm // 5 AS bucket,
+       count(*) AS events,
+       sum(qt) AS qt_sum,
+       sum(CASE WHEN is_admin THEN 1 ELSE 0 END) AS admin_events
+FROM e GROUP BY 1
+"""
+
+
+# -- A9: example selection (class.go:100-116) ---------------------------------
+
+def q_example_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class example = argmax query text by Query_time (tie-broken by
+    event id for determinism under parallel aggregation) — max_by over a
+    struct ordering, no window shuffle."""
+    ev = parsed_events(spark, sf_dir).withColumn(
+        "eid", F.regexp_extract("query", "id=(\\d+)", 1).cast("long")
+    )
+    qt = F.col("query_time").cast("double")
+    winner = F.max_by(
+        F.struct(
+            F.col("query").alias("q"), F.col("eid").alias("i"), qt.alias("t")
+        ),
+        F.struct(qt, F.col("eid")),
+    )
+    return ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+        winner.getField("q").alias("example_query"),
+        winner.getField("i").alias("example_id"),
+        winner.getField("t").alias("example_qt"),
+    )
+
+
+O_EXAMPLE_SELECT = _ORACLE_EVENTS_CTE + """
+, r AS (
+  SELECT fingerprint, query, event_id, qt,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY qt DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS total_queries
+  FROM e
+)
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       total_queries,
+       query AS example_query,
+       CAST(event_id AS BIGINT) AS example_id,
+       qt AS example_qt
+FROM r WHERE rn = 1
+"""
+
+
+# -- exact n-gram Jaccard near-dup pairs (brute-force baseline) ---------------
+
+_NJ_N, _NJ_T = 3, 0.5
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    nd = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    )
+    return ngram_jaccard_pairs_bruteforce(
+        d.unionByName(nd), n=_NJ_N, threshold=_NJ_T
+    )
+
+
+O_NGRAM_JACCARD = f"""
+WITH c AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz qqq' FROM documents WHERE doc_id % 6 = 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - {_NJ_N - 1}, 0)),
+           i -> array_to_string(ws[i:i + {_NJ_N - 1}], ' ')
+         )) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM c)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+      / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= {_NJ_T}
+"""
+
+
+# -- multimodal: binary column -> Arrow-batched feature extraction ------------
+
+_MM_DIM = 8
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal plumbing over opaque binary payloads: documents.text
+    encoded to a binary column, decoded/featurized by the mapInPandas kernel
+    (textops/multimodal.py, deterministic fake decode = md5-seeded floats).
+    Features are emitted as exact permille integers so the oracle can
+    reproduce them from md5 hex digits alone."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+    )
+    feats = extract_features(media, decoder="fake", dim=_MM_DIM)
+    return feats.select(
+        "id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[
+            F.round(F.element_at("feature", j + 1) * 1000)
+            .cast("long")
+            .alias(f"feat{j}")
+            for j in (0, 1, 3)
+        ],
+    )
+
+
+def _o_multimodal() -> str:
+    # byte k (0-based) of the md5 digest, from its hex string h
+    def byte(k: int) -> str:
+        hi = f"(strpos('{HEXD}', substr(h, {2 * k + 1}, 1)) - 1)"
+        lo = f"(strpos('{HEXD}', substr(h, {2 * k + 2}, 1)) - 1)"
+        return f"({hi} * 16 + {lo})"
+
+    # little-endian uint32 j over the 16-byte digest repeated (fake decode
+    # tiles the digest to dim*4 bytes)
+    def u32(j: int) -> str:
+        parts = [f"{byte((4 * j + b) % 16)} * {256 ** b}" for b in range(4)]
+        return "(" + " + ".join(parts) + ")"
+
+    feats = ", ".join(f"CAST({u32(j)} % 1000 AS BIGINT) AS feat{j}" for j in (0, 1, 3))
+    return f"""
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT id, kind, n_bytes, {feats} FROM m
+"""
+
+
+O_MULTIMODAL = _o_multimodal()
+
+
+# -- IVF-style ANN: coarse quantize to centroid cells, search within cell -----
+
+_IVF_C = 4          # number of centroid cells
+_IVF_DIM = 64
+_IVF_K = 5
+_IVF_NQ = 8
+
+
+def _centroid_literals() -> list[list[float]]:
+    """Deterministic centroids in [-1, 1]^dim from md5 — precomputed so both
+    engines embed identical double literals."""
+    cents = []
+    for c in range(_IVF_C):
+        row = []
+        for j in range(_IVF_DIM):
+            h = hashlib.md5(f"c{c}d{j}".encode()).hexdigest()
+            row.append(((int(h[:8], 16) % 2001) - 1000) / 1000.0)
+        cents.append(row)
+    return cents
+
+
+def _dot_lit(v: F.Column, lits: list[float]) -> F.Column:
+    arr = F.array(*[F.lit(x) for x in lits])
+    return F.aggregate(
+        F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe=1: assign every vector to its nearest (max-dot) centroid
+    cell, then brute-force top-k only within the query's cell.  At scale the
+    cell assignment is a narrow map and the per-cell search shuffles on the
+    cell id instead of broadcasting the whole corpus."""
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # argmax dot, ties to the smallest centroid index (max over (dot, -idx))
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    n = cells.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell")
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos6", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "cell", "neighbor_id", "cos6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _o_ann_ivf() -> str:
+    cents = _centroid_literals()
+    dots = ", ".join(
+        f"list_dot_product(v, {cents[c]}) AS d{c}" for c in range(_IVF_C)
+    )
+    cell = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), d AS (
+  SELECT vec_id, v, {dots} FROM e
+), cells AS (
+  SELECT vec_id, v, CAST({cell} AS BIGINT) AS cell FROM d
+), scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos6
+  FROM cells q JOIN cells n ON q.cell = n.cell
+  WHERE q.vec_id < {_IVF_NQ} AND n.vec_id != q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cos6, rank FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+O_ANN_IVF = _o_ann_ivf()
+
+
+EXT_QUERIES = {
+    "slow_rate_limit_check": (q_rate_limit_check, O_RATE_LIMIT_CHECK),
+    "slow_admin_filter": (q_admin_filter, O_ADMIN_FILTER),
+    "slow_window_agg": (q_window_agg, O_WINDOW_AGG),
+    "slow_example_select": (q_example_select, O_EXAMPLE_SELECT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, O_NGRAM_JACCARD),
+    "multimodal_features": (q_multimodal_features, O_MULTIMODAL),
+    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF),
+}
