@@ -129,7 +129,15 @@ def main() -> None:
     route_partitioned(pipeline_events(), "/tmp/mlp_bench_routed", mode="overwrite")
     timings["route_fanout_write"] = round(time.perf_counter() - t0, 3)
 
-    for name, (fn, _) in EQ.QUERIES.items():
+    from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
+    from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
+
+    timed = dict(EQ.QUERIES)
+    timed.update(EXT_QUERIES)
+    timed.update(TEXTOPS_QUERIES)
+    # the O(N^2) correctness baseline is deliberately not a benchmark surface
+    timed.pop("ngram_jaccard_pairs", None)
+    for name, (fn, _) in timed.items():
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

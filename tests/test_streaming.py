@@ -56,3 +56,49 @@ def test_windowed_counts_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select sum(total_queries) s from wincounts").first()
     assert rows.s == 4 * 10
+
+
+def test_stateful_running_digest(spark, tmp_path):
+    """applyInPandasWithState: per-class state must accumulate ACROSS
+    micro-batches (after chunk 2, totals include chunk 1's events)."""
+    from mysql_log_parser_spark.streaming.stateful import running_class_digest
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    synth.generate_parquet(str(ind / "c0.parquet"), n_docs=4, events_per_doc=6, seed=7)
+
+    q = (
+        running_class_digest(stream_events(spark, str(ind)))
+        .writeStream.format("memory")
+        .queryName("running_digest")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.class_id: r.total_queries
+            for r in spark.sql("select * from running_digest").collect()
+        }
+        assert sum(first.values()) == 4 * 6
+
+        # second chunk arrives mid-stream; keyed state carries over
+        synth.generate_parquet(str(ind / "c1.parquet"), n_docs=4, events_per_doc=6, seed=8)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink keeps every update row; the running total per class is the
+    # max (counts are monotone)
+    rows = spark.sql(
+        "select class_id, max(total_queries) n from running_digest group by class_id"
+    ).collect()
+    got = {r.class_id: r.n for r in rows}
+    assert sum(got.values()) == 2 * 4 * 6
+
+    batch = SlowLogPipeline(spark).events(spark.read.parquet(str(ind)))
+    want = {
+        r.class_id: r.cnt
+        for r in batch.groupBy("class_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
