@@ -332,13 +332,21 @@ SELECT class_id, kind, metric, cnt, sum, min, avg, pct95, med, max FROM n
 
 
 def q_top_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Report filter: classes with > 10% of total traffic (parser-cli.go:139)."""
+    """Report filter: classes with > 10% of total traffic (parser-cli.go:139).
+    The grand total comes from an unpartitioned window over the (small,
+    one-row-per-class) aggregate — one pipeline pass, no driver round-trip."""
+    from pyspark.sql import Window
+
     ev = parsed_events(spark, sf_dir)
-    total = ev.count()
+    cls = ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+    )
+    total = F.sum("total_queries").over(Window.partitionBy())
     return (
-        ev.groupBy("class_id")
-        .agg(F.first("fingerprint").alias("fingerprint"), F.count(F.lit(1)).alias("total_queries"))
-        .where(F.col("total_queries") > F.lit(total) / 10)
+        cls.withColumn("_total", total)
+        .where(F.col("total_queries") > F.col("_total") / 10)
+        .drop("_total")
     )
 
 

@@ -22,11 +22,8 @@ from pyspark.sql import functions as F
 
 from mysql_log_parser_spark.textops.dedup import (
     exact_duplicates,
-    jaccard,
-    lsh_candidate_pairs,
+    minhash_dedup_pairs,
     simhash,
-    with_minhash,
-    word_shingles,
 )
 from mysql_log_parser_spark.textops.quality import (
     STOPWORDS,
@@ -215,29 +212,31 @@ def _mutated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _mutated_docs(spark, sf_dir)
-    sigs = with_minhash(docs, "text", n=_NGRAM, num_hashes=_MH)
-    cands = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MH, bands=_BANDS)
-    sh = docs.select("doc_id", word_shingles(F.col("text"), _NGRAM).alias("sh"))
-    return (
-        cands.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-        )
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= _THRESH)
-        .select("id_a", "id_b", "jaccard")
+    return minhash_dedup_pairs(
+        _mutated_docs(spark, sf_dir),
+        n=_NGRAM,
+        num_hashes=_MH,
+        bands=_BANDS,
+        threshold=_THRESH,
     )
+
+
+def _hex_to_int(col: str, start: int, ndigits: int) -> str:
+    """SQL for big-endian hex-substring -> BIGINT via digit positions
+    (mirrors Spark's conv(substring(h, start, ndigits), 16, 10))."""
+    terms = [
+        f"(strpos('{HEXD}', substr({col}, {start + k}, 1)) - 1) * {16 ** (ndigits - 1 - k)}"
+        for k in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def _o_minhash_pairs() -> str:
     rows = _MH // _BANDS
-    mh = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}" for i in range(_MH)
-    )
+    mh = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(_MH))
     bands = ", ".join(
         "concat_ws('|', "
-        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         + f") AS band{b}"
         for b in range(_BANDS)
     )
@@ -256,8 +255,14 @@ WITH c AS (
            i -> array_to_string(ws[i:i + {_NGRAM - 1}], ' ')
          )) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM c)
+), hx AS (
+  SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+), hv AS (
+  SELECT doc_id, {_hex_to_int('h', 1, 12)} AS h1, {_hex_to_int('h', 13, 12)} AS h2 FROM hx
 ), sigs AS (
-  SELECT doc_id, {mh} FROM sh
+  SELECT doc_id, {mh} FROM hv GROUP BY doc_id
+), shs AS (
+  SELECT doc_id, list(DISTINCT h1) AS sh FROM hv GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, {bands} FROM sigs
 ), long AS (
@@ -271,8 +276,8 @@ SELECT id_a, id_b,
        len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
          / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
 FROM cands
-JOIN sh sa ON sa.doc_id = id_a
-JOIN sh sb ON sb.doc_id = id_b
+JOIN shs sa ON sa.doc_id = id_a
+JOIN shs sb ON sb.doc_id = id_b
 WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
       / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= {_THRESH}
 """

@@ -181,13 +181,16 @@ def histogram(events: DataFrame, col: str = "query_time", buckets: int = 20) -> 
     """Equi-width histogram over a metric (the GKq.Histo(20) report,
     bin/parser-cli.go:137) as a width_bucket-style aggregation."""
     v = F.col(col)
-    lo, hi = F.min(v), F.max(v)
-    bounds = events.agg(lo.alias("lo"), hi.alias("hi")).first()
-    if bounds.lo is None or bounds.hi == bounds.lo:
-        width = 1.0
-    else:
-        width = (bounds.hi - bounds.lo) / buckets
-    b = F.least(
-        F.floor((v - F.lit(bounds.lo)) / F.lit(width)).cast("int"), F.lit(buckets - 1)
-    ).alias("bucket")
-    return events.groupBy(b).agg(F.count(F.lit(1)).alias("cnt")).orderBy("bucket")
+    bounds = events.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    width = F.when(
+        F.col("_hi") > F.col("_lo"), (F.col("_hi") - F.col("_lo")) / buckets
+    ).otherwise(F.lit(1.0))
+    b = F.least(F.floor((v - F.col("_lo")) / width).cast("int"), F.lit(buckets - 1))
+    # broadcast the 1-row bounds instead of collecting them to the driver:
+    # one job, no second full pass scheduled from a .first() round-trip
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )

@@ -15,8 +15,15 @@ oracle-checkable in any SQL engine).  Shapes:
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -30,18 +37,31 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
 
 
-def _mh_one(shingles: Column, seed: int) -> Column:
-    # NB: a closure, NOT a default-arg lambda — pyspark counts lambda params,
-    # and a 2-param lambda is resolved as the (element, index) form.
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-    )
+# Sentinel above any reachable hash value (h1 + i*h2 < 2^48 + 15*2^48 < 2^53).
+_MH_INIT = 1 << 60
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash via lexicographic min of md5(seed || shingle) hex strings —
-    deterministic, engine-portable, no RNG state."""
-    return [_mh_one(shingles, i).alias(f"mh{i}") for i in range(num_hashes)]
+def minhash_array(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as one array<long> via double hashing:
+    ``mh_i = min over shingles of (h1(s) + i * h2(s))`` with h1/h2 the two
+    48-bit halves of md5(s).
+
+    One md5 + one fold per shingle for the WHOLE signature — versus one md5
+    per (shingle, hash) with per-seed string minima, which as an interpreted
+    higher-order expression was ~num_hashes times slower.  Deterministic, no
+    RNG state, reproducible in any engine with md5.  Null for shingle-less
+    docs (never all-equal sentinel signatures that would band-collide every
+    empty doc with every other)."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+
+    def step(acc: Column, s: Column) -> Column:
+        h = F.md5(s)
+        h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+        h2 = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
+        return F.zip_with(acc, idx, lambda a, i: F.least(a, h1 + i * h2))
+
+    init = F.array_repeat(F.lit(_MH_INIT).cast("long"), num_hashes)
+    return F.when(F.size(shingles) > 0, F.aggregate(shingles, init, step))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -61,9 +81,59 @@ def with_minhash(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    return docs.withColumn("_sh", word_shingles(F.col(text_col), n)).select(
-        "*", *minhash_signature(F.col("_sh"), num_hashes)
-    ).drop("_sh")
+    return docs.withColumn(
+        "mh", minhash_array(word_shingles(F.col(text_col), n), num_hashes)
+    )
+
+
+def shingle_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Arrow-batched kernel: (id, text) -> (id, sh array<long>, mh array<long>).
+
+    `sh` is the set of 48-bit shingle hashes (h1 of md5, distinct), `mh` the
+    double-hashing minhash signature ``mh_i = min(h1 + i*h2)`` — numerically
+    identical to `word_shingles` + `minhash_array`, but one mapInPandas pass
+    instead of interpreted higher-order expressions (measured ~10x on the
+    bench corpus: shingling via Catalyst transform/concat_ws/slice is not
+    codegen'd and dominates).  Null mh for shingle-less docs.
+    """
+    id_field = docs.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("sh", ArrayType(LongType())),
+            StructField("mh", ArrayType(LongType())),
+        ]
+    )
+    seeds = np.arange(num_hashes, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            shs: list = []
+            mhs: list = []
+            for t in pdf[text_col]:
+                words = (t or "").lower().strip().split()
+                grams = {
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                }
+                if not grams:
+                    shs.append([])
+                    mhs.append(None)
+                    continue
+                digests = [md5(g.encode("utf-8")).hexdigest() for g in grams]
+                h1 = np.array([int(d[:12], 16) for d in digests], dtype=np.int64)
+                h2 = np.array([int(d[12:24], 16) for d in digests], dtype=np.int64)
+                shs.append(np.unique(h1))
+                mhs.append((h1[:, None] + seeds[None, :] * h2[:, None]).min(axis=0))
+            yield pd.DataFrame({id_field.name: pdf[id_col], "sh": shs, "mh": mhs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -77,10 +147,13 @@ def lsh_candidate_pairs(
     band keys are (near-)duplicates by construction."""
     rows = num_hashes // bands
     band_cols = [
-        F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        F.concat_ws(
+            "|",
+            *[F.element_at("mh", b * rows + r + 1).cast("string") for r in range(rows)],
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sigs.select(F.col(id_col), *band_cols)
+    banded = sigs.where(F.col("mh").isNotNull()).select(F.col(id_col), *band_cols)
     long = banded.select(
         id_col,
         F.explode(
@@ -120,12 +193,17 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
-    bucket-join -> exact-Jaccard verify on candidates only."""
-    sigs = with_minhash(docs, text_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    bucket-join -> exact-Jaccard verify on candidates only.
+
+    The shingle/signature table comes from the Arrow-batched kernel
+    (`shingle_minhash`) and is persisted before the self-join — without the
+    persist every branch of the candidate self-join and both verify joins
+    would recompute it.  At production scale this materialization is the
+    signature table you would write out anyway.  Jaccard is verified over
+    48-bit shingle hashes (collision odds per pair ~|union|^2 / 2^49)."""
+    base = shingle_minhash(docs, text_col, id_col, n, num_hashes).persist()
+    cands = lsh_candidate_pairs(base, id_col, num_hashes, bands)
+    sh = base.select(F.col(id_col), F.col("sh"))
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
