@@ -36,3 +36,49 @@ def test_digest_job_cli(spark, tmp_path):
     gd = spark.read.parquet(f"{out}/global_digest").first()
     assert gd.total_queries == 40
     assert cd.count() == gd.unique_queries
+
+
+def test_spark_submit_py_files(tmp_path):
+    """North-rule packaging contract: run the digest job through a REAL
+    `spark-submit --py-files <pkg.zip>` subprocess — the package must be
+    importable from the shipped zip alone (cwd is outside the repo)."""
+    import shutil
+    import subprocess
+
+    from mysql_log_parser_spark.session import package_zip
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    synth.generate_parquet(str(ind / "c0.parquet"), n_docs=4, events_per_doc=10, seed=21)
+    out = str(tmp_path / "out")
+    job = os.path.join(os.path.dirname(__file__), "..", "jobs", "digest_job.py")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_DRIVER_MEMORY="2g")
+    res = subprocess.run(
+        [
+            submit,
+            "--master", "local[4]",
+            "--py-files", package_zip(),
+            job,
+            "--input", str(ind),
+            "--output", out,
+            "--mode", "sketch",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    import duckdb
+
+    gd = duckdb.sql(f"SELECT total_queries FROM read_parquet('{out}/global_digest/*.parquet')").fetchone()
+    assert gd[0] == 40
