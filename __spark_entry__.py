@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mysql_log_parser_spark import entry_queries as EQ  # noqa: E402
 from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES  # noqa: E402
+from mysql_log_parser_spark.entry_queries_streaming import STREAMING_QUERIES  # noqa: E402
 from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES  # noqa: E402
 
 
@@ -47,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_queries() -> dict:
     out = dict(EQ.QUERIES)
     out.update(EXT_QUERIES)
+    out.update(STREAMING_QUERIES)
     out.update(TEXTOPS_QUERIES)
     return out
 

@@ -116,9 +116,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Flagship: tokens table -> parse -> fingerprint -> per-class digest.
-    t0 = time.perf_counter()
-    _materialize(class_digest(pipeline_events(), mode="sketch"))
-    flagship = time.perf_counter() - t0
+    # SPARK_GRAFT_REPEATS>1 takes the min of repeated runs — the least-noise
+    # estimate on a shared box (page cache / GC warmup dominate the spread).
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "1"))
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _materialize(class_digest(pipeline_events(), mode="sketch"))
+        runs.append(time.perf_counter() - t0)
+    flagship = min(runs)
     timings["pipeline_class_digest"] = round(flagship, 3)
 
     t0 = time.perf_counter()
@@ -129,18 +135,19 @@ def main() -> None:
     route_partitioned(pipeline_events(), "/tmp/mlp_bench_routed", mode="overwrite")
     timings["route_fanout_write"] = round(time.perf_counter() - t0, 3)
 
-    from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
-    from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
+    if os.environ.get("SPARK_GRAFT_QUERIES", "all") != "flagship":
+        from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
+        from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
 
-    timed = dict(EQ.QUERIES)
-    timed.update(EXT_QUERIES)
-    timed.update(TEXTOPS_QUERIES)
-    # the O(N^2) correctness baseline is deliberately not a benchmark surface
-    timed.pop("ngram_jaccard_pairs", None)
-    for name, (fn, _) in timed.items():
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timed = dict(EQ.QUERIES)
+        timed.update(EXT_QUERIES)
+        timed.update(TEXTOPS_QUERIES)
+        # the O(N^2) correctness baseline is deliberately not a benchmark surface
+        timed.pop("ngram_jaccard_pairs", None)
+        for name, (fn, _) in timed.items():
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "end_to_end_pipeline_sec",

@@ -31,6 +31,8 @@ def run(cpus: int, sf_dir: str, replicate: int) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_REPLICATE=str(replicate),
+        SPARK_GRAFT_QUERIES="flagship",  # scaling legs time the pipeline only
+        SPARK_GRAFT_REPEATS="3",  # min-of-3 per leg: single-box noise control
     )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],

@@ -1,0 +1,116 @@
+"""Driver-contract queries that exercise the Structured Streaming paths —
+the same rendered corpus is written out as tokens chunks, consumed through
+readStream (file source), pushed through the REAL parse/fingerprint
+operators, and the materialized result is compared against a DuckDB oracle
+derived straight from the `events` table.
+
+Both queries run a bounded (availableNow) stream to completion inside the
+query callable and return the materialized result as a batch DataFrame, so
+the standard row/schema/value-hash comparison applies — the streaming
+operators get the same correctness gate as the batch ones.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_log_parser_spark.entry_queries import (
+    _ORACLE_EVENTS_CTE,
+    docs_from_events,
+    encode_tokens,
+)
+from mysql_log_parser_spark.streaming.pipeline import stream_events
+
+
+def _tokens_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Render the corpus and write it as a 2-chunk tokens directory."""
+    d = tempfile.mkdtemp(prefix="mlp_stream_in_")
+    docs = docs_from_events(spark, sf_dir)
+    (
+        docs.repartition(2)
+        .select(
+            "doc_id",
+            encode_tokens("text").alias("tokens"),
+            "source",
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream -> parse -> fingerprint -> routed parquet sink,
+    then per-sink counts over what the STREAM wrote (routed-row equality
+    with the batch-derived oracle)."""
+    from mysql_log_parser_spark.streaming.pipeline import start_routed_sink
+
+    ind = _tokens_chunks(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="mlp_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="mlp_stream_ckpt_")
+    q = start_routed_sink(stream_events(spark, ind), out, ckpt)
+    q.awaitTermination(600)
+    routed = spark.read.parquet(out)
+    return routed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("routed_rows"),
+        F.countDistinct("class_id").alias("distinct_classes"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+    )
+
+
+O_STREAM_ROUTE_COUNTS = _ORACLE_EVENTS_CTE + """
+SELECT source,
+       count(*) AS routed_rows,
+       count(DISTINCT fingerprint) AS distinct_classes,
+       sum(qt) AS qt_sum
+FROM e GROUP BY source
+"""
+
+
+def q_stream_stateful_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState running digest, run to completion over the
+    streamed corpus; final per-class state must equal the batch aggregate."""
+    from mysql_log_parser_spark.streaming.stateful import running_class_digest
+
+    ind = _tokens_chunks(spark, sf_dir)
+    name = f"mlp_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_class_digest(stream_events(spark, ind))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # one update row per class per micro-batch; the final state per class is
+    # the row with the largest (monotone) count
+    return (
+        spark.table(name)
+        .groupBy("class_id")
+        .agg(
+            F.max("total_queries").alias("total_queries"),
+            F.max("qt_sum").alias("qt_sum"),
+            F.max("qt_max").alias("qt_max"),
+        )
+    )
+
+
+O_STREAM_STATEFUL_DIGEST = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       max(qt) AS qt_max
+FROM e GROUP BY fingerprint
+"""
+
+
+STREAMING_QUERIES = {
+    "stream_route_counts": (q_stream_route_counts, O_STREAM_ROUTE_COUNTS),
+    "stream_stateful_digest": (q_stream_stateful_digest, O_STREAM_STATEFUL_DIGEST),
+}

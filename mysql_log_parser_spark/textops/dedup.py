@@ -245,20 +245,29 @@ def simhash(text: Column, bits: int = 16) -> Column:
     words = F.split(F.lower(F.trim(text)), r"\s+")
     hashes = F.transform(words, lambda w: F.md5(w))
     hexd = "0123456789abcdef"
+    # One fold accumulating ALL bit-votes at once: md5 runs once per word.
+    # (A per-bit fold would re-evaluate the md5 array `bits` times — these
+    # higher-order expressions are interpreted, nothing is CSE'd.)
+    idx = F.sequence(F.lit(1), F.lit(bits))  # 1-based hex-digit positions
 
-    def vote(j: int) -> Column:  # closure: see _mh_one note on lambda arity
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + ((F.instr(F.lit(hexd), F.substring(h, j + 1, 1)) - 1) % 2) * 2
+    def step(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            idx,
+            lambda a, j: a
+            + ((F.instr(F.lit(hexd), F.substring(h, j, F.lit(1))) - 1) % 2) * 2
             - 1,
         )
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + F.when(vote(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return out
+    votes = F.aggregate(hashes, F.array_repeat(F.lit(0).cast("long"), bits), step)
+    pows = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_buckets(
