@@ -434,3 +434,28 @@ EXT_QUERIES = {
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF),
 }
+
+
+# -- salted two-phase class aggregation (hot-key skew mitigation) --------------
+
+def q_salted_class_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase digest must agree exactly with the direct
+    derivation — counts/sums/extrema are mergeable across salt partials."""
+    from mysql_log_parser_spark.operators.aggregate import salted_class_digest
+
+    return salted_class_digest(parsed_events(spark, sf_dir), salts=16)
+
+
+O_SALTED_CLASS_AGG = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       min(qt) AS qt_min,
+       max(qt) AS qt_max,
+       sum(qt)/count(*) AS qt_avg,
+       sum(rows_examined) AS rex_sum
+FROM e GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_salted_class_agg"] = (q_salted_class_agg, O_SALTED_CLASS_AGG)

@@ -194,3 +194,44 @@ def histogram(events: DataFrame, col: str = "query_time", buckets: int = 20) -> 
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bucket")
     )
+
+
+def salted_class_digest(
+    events: DataFrame,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for hot query classes (the north-rule's
+    explicit skew mitigation).
+
+    Phase 1 aggregates per (class_id, salt) with salt = pmod(hash(doc_id,
+    event_idx), salts), spreading a zipf-hot class over `salts` reducers;
+    phase 2 merges the mergeable partials (cnt / sum / min / max — avg is
+    derived).  Use when a single class dominates the corpus AND the final
+    agg must carry non-mergeable state (exact-mode collect_list buffers);
+    the sketch-mode digest does not need this because percentile_approx
+    partials already combine map-side (one partial sketch per map task, not
+    one shuffle row per event).
+    """
+    qt = F.col("query_time").cast("double")
+    salt = F.pmod(F.hash("doc_id", "event_idx"), F.lit(salts))
+    p1 = (
+        events.withColumn("_salt", salt)
+        .groupBy("class_id", "_salt")
+        .agg(
+            F.first("fingerprint").alias("fingerprint"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(qt).alias("qt_sum"),
+            F.min(qt).alias("qt_min"),
+            F.max(qt).alias("qt_max"),
+            F.sum("rows_examined").alias("rex_sum"),
+        )
+    )
+    return p1.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.sum("cnt").alias("total_queries"),
+        F.sum("qt_sum").alias("qt_sum"),
+        F.min("qt_min").alias("qt_min"),
+        F.max("qt_max").alias("qt_max"),
+        (F.sum("qt_sum") / F.sum("cnt")).alias("qt_avg"),
+        F.sum("rex_sum").alias("rex_sum"),
+    )
