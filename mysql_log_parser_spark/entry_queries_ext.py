@@ -459,3 +459,43 @@ FROM e GROUP BY fingerprint
 """
 
 EXT_QUERIES["slow_salted_class_agg"] = (q_salted_class_agg, O_SALTED_CLASS_AGG)
+
+
+# -- rollup: class + global digest in one shuffle ------------------------------
+
+def q_rollup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_log_parser_spark.operators.aggregate import rollup_digest
+
+    r = rollup_digest(parsed_events(spark, sf_dir), mode="exact")
+    return r.select(
+        "class_id",
+        "is_global",
+        "total_queries",
+        "unique_queries",
+        F.col("query_time_sum").cast("double").alias("qt_sum"),
+        F.col("query_time_pct95").cast("double").alias("qt_p95"),
+        F.col("rows_examined_sum").alias("rex_sum"),
+    )
+
+
+O_ROLLUP_DIGEST = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       CAST(0 AS BIGINT) AS is_global,
+       count(*) AS total_queries,
+       CAST(1 AS BIGINT) AS unique_queries,
+       sum(qt) AS qt_sum,
+       list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] AS qt_p95,
+       sum(rows_examined) AS rex_sum
+FROM e GROUP BY fingerprint
+UNION ALL
+SELECT NULL,
+       CAST(1 AS BIGINT),
+       count(*),
+       count(DISTINCT fingerprint),
+       sum(qt),
+       list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1],
+       sum(rows_examined)
+FROM e
+"""
+
+EXT_QUERIES["slow_rollup_digest"] = (q_rollup_digest, O_ROLLUP_DIGEST)

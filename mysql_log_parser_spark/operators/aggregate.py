@@ -235,3 +235,24 @@ def salted_class_digest(
         (F.sum("qt_sum") / F.sum("cnt")).alias("qt_avg"),
         F.sum("rex_sum").alias("rex_sum"),
     )
+
+
+def rollup_digest(events: DataFrame, mode: str = "sketch") -> DataFrame:
+    """Per-class AND global digest in ONE aggregation via rollup(class_id):
+    Catalyst expands each input row into the (class_id) and () grouping sets
+    inside the same shuffle, so the reference's two separate accumulator
+    passes (QueryClass map + GlobalClass, bin/parser-cli.go:76-101) collapse
+    into a single job: ONE scan/parse of the events, both result levels.
+    (countDistinct adds one extra keyed exchange, but over already-reduced
+    class-cardinality rows, not events.)
+
+    The grand-total row has is_global = 1, class_id null, and
+    unique_queries = number of distinct classes (class rows carry 1).
+    """
+    return events.rollup("class_id").agg(
+        F.count(F.lit(1)).alias("total_queries"),
+        F.countDistinct("class_id").alias("unique_queries"),
+        *_promoted_stats("query_time", mode, False, "query_time"),
+        *_promoted_stats("rows_examined", mode, True, "rows_examined"),
+        F.grouping("class_id").cast("long").alias("is_global"),
+    )
