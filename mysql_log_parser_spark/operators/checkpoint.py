@@ -79,28 +79,45 @@ class CheckpointedRunner:
 
         Returns the manifest records written this run.
         """
+        from pyspark.sql import Observation
+
         records = []
         for chunk in self.pending_chunks(input_dir)[: max_chunks or None]:
             t0 = time.perf_counter()
             docs = self.spark.read.parquet(os.path.join(input_dir, chunk))
-            ev = process(docs)
+            # metrics ride along with the write action (df.observe) — no
+            # extra count jobs over the input or the pipeline
+            in_obs = Observation(f"in_{chunk}")
+            out_obs = Observation(f"out_{chunk}")
+            docs = docs.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
+            ev = process(docs).observe(
+                out_obs, F.count(F.lit(1)).alias("events_out")
+            )
             out_path = os.path.join(self.output_dir, "data", f"chunk={chunk}")
             # idempotent per-chunk write: a re-run of an uncommitted chunk
             # overwrites its own partial output
             ev.write.mode("overwrite").parquet(out_path)
 
+            # per-partition lineage: row counts per routed source AND per
+            # written output file, from one cheap read-back of this chunk
             done = self.spark.read.parquet(out_path)
             by_source = {
                 r["source"]: r["cnt"]
                 for r in done.groupBy("source").agg(F.count("*").alias("cnt")).collect()
             }
-            n_parts = done.rdd.getNumPartitions()
+            by_file = {
+                os.path.basename(r["f"]): r["cnt"]
+                for r in done.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
             rec = {
                 "chunk": chunk,
-                "rows_in": docs.count(),
-                "events_out": int(sum(by_source.values())),
+                "rows_in": int(in_obs.get["rows_in"]),
+                "events_out": int(out_obs.get["events_out"]),
                 "by_source": by_source,
-                "output_partitions": n_parts,
+                "by_partition_file": by_file,
+                "output_partitions": len(by_file),
                 "wall_sec": round(time.perf_counter() - t0, 3),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

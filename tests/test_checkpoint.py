@@ -50,6 +50,9 @@ def test_incremental_resume(spark, chunked_input, tmp_path):
     rec = runner.committed_chunks()["chunk0.parquet"]
     assert rec["rows_in"] == 6 and rec["events_out"] == 60
     assert sum(rec["by_source"].values()) == 60 and rec["wall_sec"] > 0
+    # per-partition (output file) lineage sums to the chunk total
+    assert sum(rec["by_partition_file"].values()) == 60
+    assert rec["output_partitions"] == len(rec["by_partition_file"]) >= 1
 
 
 def test_idempotent_reprocess_of_uncommitted(spark, chunked_input, tmp_path):
