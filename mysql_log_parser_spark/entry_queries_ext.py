@@ -46,6 +46,11 @@ def _ext_event_text() -> F.Column:
             qt, F.col("user_id") % 100, eid % 1000,
         ),
         F.format_string("# Log_slow_rate_type: query  Log_slow_rate_limit: %d\n", rl),
+        F.format_string(
+            "# QC_Hit: %s  Full_scan: %s\n",
+            F.when(eid % 3 == 0, F.lit("Yes")).otherwise(F.lit("No")),
+            F.when(eid % 5 == 0, F.lit("Yes")).otherwise(F.lit("No")),
+        ),
     )
     body = F.when(eid % 17 == 0, F.lit("# administrator command: Quit;\n")).otherwise(
         F.format_string("SELECT c FROM t_%s WHERE id=%d;\n", F.col("event_type"), eid)
@@ -499,3 +504,29 @@ FROM e
 """
 
 EXT_QUERIES["slow_rollup_digest"] = (q_rollup_digest, O_ROLLUP_DIGEST)
+
+
+# -- A4: bool-metric aggregation over the dynamic map (stats.go:39-42, 88-106) -
+
+def q_bool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoolStats {Cnt, True} per metric name, per sink, from the exploded
+    bool_metrics map — the dynamic-schema escape hatch aggregated long-form."""
+    ev = ext_parsed_events(spark, sf_dir)
+    b = ev.select("source", F.explode("bool_metrics").alias("metric", "v"))
+    return b.groupBy("source", "metric").agg(
+        F.count("v").alias("cnt"),
+        F.sum(F.col("v").cast("long")).alias("true_cnt"),
+    )
+
+
+O_BOOL_STATS = _ORACLE_EXT_CTE + """
+SELECT source, m.metric,
+       count(*) AS cnt,
+       sum(CASE WHEN (m.metric = 'QC_Hit' AND event_id % 3 = 0)
+                  OR (m.metric = 'Full_scan' AND event_id % 5 = 0)
+                THEN 1 ELSE 0 END) AS true_cnt
+FROM e, (SELECT unnest(['QC_Hit', 'Full_scan']) AS metric) m
+GROUP BY source, m.metric
+"""
+
+EXT_QUERIES["slow_bool_stats"] = (q_bool_stats, O_BOOL_STATS)
