@@ -530,3 +530,40 @@ GROUP BY source, m.metric
 """
 
 EXT_QUERIES["slow_bool_stats"] = (q_bool_stats, O_BOOL_STATS)
+
+
+# -- S2: resume from byte offset (Options.StartOffset, slow.go:46-49) ----------
+
+def q_resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc start_offset seek: each doc resumes exactly at its second
+    event's first byte, so event 0 of every doc is skipped and the remaining
+    events parse cleanly — the reference's caller-persisted StartOffset
+    contract (slow.go:43-49) expressed as a per-doc column."""
+    from mysql_log_parser_spark.entry_queries import _event_text, docs_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first_len = (
+        ev.where(F.col("event_id") % EVENTS_PER_DOC == 0)
+        .select(
+            F.floor(F.col("event_id") / EVENTS_PER_DOC).cast("long").alias("dnum"),
+            F.octet_length(_event_text()).alias("start_offset"),
+        )
+        .select(
+            F.concat(F.lit("d"), F.col("dnum").cast("string")).alias("doc_id"),
+            "start_offset",
+        )
+    )
+    docs = docs_from_events(spark, sf_dir).join(first_len, "doc_id")
+    parsed = promote_metrics(parse_slowlog(docs))
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+    )
+
+
+O_RESUME_OFFSET = _ORACLE_EVENTS_CTE + """
+SELECT source, count(*) AS kept_rows, sum(qt) AS qt_sum
+FROM e WHERE event_idx != 0 GROUP BY source
+"""
+
+EXT_QUERIES["slow_resume_offset"] = (q_resume_offset, O_RESUME_OFFSET)
