@@ -135,6 +135,29 @@ def main() -> None:
     route_partitioned(pipeline_events(), "/tmp/mlp_bench_routed", mode="overwrite")
     timings["route_fanout_write"] = round(time.perf_counter() - t0, 3)
 
+    # Structured Streaming leg: the SAME corpus through readStream -> parse
+    # -> fingerprint -> routed sink (availableNow), one bounded run.
+    # Skipped in flagship-only mode (scaling legs time the batch pipeline).
+    stream_sec = None
+    if os.environ.get("SPARK_GRAFT_QUERIES", "all") != "flagship":
+        import shutil
+        import tempfile
+
+        from mysql_log_parser_spark.streaming.pipeline import (
+            start_routed_sink,
+            stream_events,
+        )
+
+        s_out = tempfile.mkdtemp(prefix="mlp_bench_stream_out_")
+        s_ckpt = tempfile.mkdtemp(prefix="mlp_bench_stream_ckpt_")
+        t0 = time.perf_counter()
+        q = start_routed_sink(stream_events(spark, tokens_path), s_out, s_ckpt)
+        q.awaitTermination()
+        stream_sec = time.perf_counter() - t0
+        timings["stream_routed_write"] = round(stream_sec, 3)
+        shutil.rmtree(s_out, ignore_errors=True)
+        shutil.rmtree(s_ckpt, ignore_errors=True)
+
     if os.environ.get("SPARK_GRAFT_QUERIES", "all") != "flagship":
         from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
         from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
@@ -159,6 +182,8 @@ def main() -> None:
         "events_per_sec": round(n_events / flagship, 1),
         "cpus": cpus,
     }
+    if stream_sec is not None:
+        out["stream_events_per_sec"] = round(n_events / stream_sec, 1)
     print(json.dumps(out))
     spark.stop()
 
