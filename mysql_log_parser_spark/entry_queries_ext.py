@@ -567,3 +567,33 @@ FROM e WHERE event_idx != 0 GROUP BY source
 """
 
 EXT_QUERIES["slow_resume_offset"] = (q_resume_offset, O_RESUME_OFFSET)
+
+
+# -- multimodal: video frame-sampling plan (JVM-side expansion) ----------------
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling plan for video rows: the (id, n_frames) ->
+    frame_idx expansion runs JVM-side (explode(sequence(...))); only the
+    actual frame decode is the stubbed Python kernel."""
+    from mysql_log_parser_spark.textops.multimodal import frame_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.where(F.col("doc_id") % 3 == 2).select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            (30 * (F.col("doc_id") % 10 + 1)).cast("int").alias("n_frames")
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_n=10).select(
+        "id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+O_FRAME_SAMPLE = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS id,
+       CAST(unnest(range(0, CAST(30 * (doc_id % 10 + 1) AS BIGINT), 10)) AS BIGINT) AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+EXT_QUERIES["multimodal_frame_sample"] = (q_frame_sample, O_FRAME_SAMPLE)

@@ -113,3 +113,28 @@ def test_digests(spark, synth_docs):
     mx = ev.where(F.col("class_id") == k.class_id).agg(F.max("query_time")).first()[0]
     assert abs(k.example_query_time - mx) < 1e-9
     ev.unpersist()
+
+
+def test_route_loop_heterogeneous(spark, tmp_path):
+    """Per-sink loop writes (heterogeneous-sink path) must route every event
+    exactly once, matching the partitioned single-pass strategy."""
+    from mysql_log_parser_spark import synth
+    from mysql_log_parser_spark.operators.route import route_loop, route_partitioned
+    from mysql_log_parser_spark.pipeline import SlowLogPipeline
+
+    p = str(tmp_path / "tokens.parquet")
+    synth.generate_parquet(p, n_docs=8, events_per_doc=10, seed=17)
+    ev = SlowLogPipeline(spark).events(spark.read.parquet(p))
+
+    loop_base = str(tmp_path / "loop")
+    part_base = str(tmp_path / "part")
+    paths = route_loop(ev, loop_base)
+    route_partitioned(ev, part_base)
+
+    part = spark.read.parquet(part_base)
+    total = 0
+    for src, path in paths.items():
+        n = spark.read.parquet(path).count()
+        assert n == part.where(part.source == src).count()
+        total += n
+    assert total == ev.count() == 80
