@@ -597,3 +597,38 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 EXT_QUERIES["multimodal_frame_sample"] = (q_frame_sample, O_FRAME_SAMPLE)
+
+
+# -- per-sink per-class digest (north-star: per-sink aggregate-count parity) ---
+
+def q_sink_class_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """class_digest grouped by (source, class_id) — the per-sink digest the
+    routed sinks feed (north_star: per-fingerprint aggregate-count parity
+    per sink)."""
+    from mysql_log_parser_spark.operators.aggregate import class_digest
+
+    ev = parsed_events(spark, sf_dir)
+    d = class_digest(ev, mode="exact", with_example=False, group_extra=("source",))
+    return d.select(
+        "source",
+        "class_id",
+        "fingerprint",
+        "total_queries",
+        F.col("query_time_sum").cast("double").alias("qt_sum"),
+        F.col("query_time_pct95").cast("double").alias("qt_p95"),
+        F.col("rows_sent_sum").alias("rs_sum"),
+    )
+
+
+O_SINK_CLASS_AGG = _ORACLE_EVENTS_CTE + """
+SELECT source,
+       upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] AS qt_p95,
+       sum(rows_sent) AS rs_sum
+FROM e GROUP BY source, fingerprint
+"""
+
+EXT_QUERIES["slow_sink_class_agg"] = (q_sink_class_agg, O_SINK_CLASS_AGG)
