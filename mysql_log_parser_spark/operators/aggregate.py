@@ -48,8 +48,15 @@ def _metric_stats(v: Column, mode: str, integer: bool) -> list[Column]:
         p95 = _exact_rank(vals, cnt, 95)
         med = _exact_rank(vals, cnt, 50)
     else:
-        p95 = F.percentile_approx(v, 0.95, GK_ACCURACY)
-        med = F.percentile_approx(v, 0.5, GK_ACCURACY)
+        # one GK sketch serving both quantiles: the two element_at refs share
+        # a single percentile_approx aggregate (Catalyst dedups
+        # semantically-equal aggregate functions), halving sketch count per
+        # metric vs separate p50/p95 calls
+        pa = F.percentile_approx(
+            v, F.array(F.lit(0.5), F.lit(0.95)), F.lit(GK_ACCURACY)
+        )
+        p95 = F.element_at(pa, 2)
+        med = F.element_at(pa, 1)
     if integer:
         s = F.sum(v)
         avg = F.floor(s / cnt).cast("long")  # integer division (stats.go:137)
