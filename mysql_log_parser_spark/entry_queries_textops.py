@@ -422,3 +422,62 @@ TEXTOPS_QUERIES = {
     "ann_cosine_topk": (q_ann_topk, O_ANN_TOPK),
     "embed_near_dup": (q_embed_near_dup, O_EMBED_NEAR_DUP),
 }
+
+
+# -- 9. deterministic split + stratified sampling ------------------------------
+
+def _o_unit_hash(idexpr: str, salt: str) -> str:
+    """DuckDB mirror of sampling.unit_hash: first 8 hex digits of md5 as a
+    uint32, divided by 2^32."""
+    h = f"md5(CAST({idexpr} AS VARCHAR) || ':{salt}')"
+    terms = " + ".join(
+        f"(strpos('{HEXD}', substr({h}, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"(({terms}) / 4294967296.0)"
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_log_parser_spark.textops.sampling import with_split
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return with_split(d).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+
+
+O_SPLIT_ASSIGN = f"""
+WITH u AS (
+  SELECT doc_id, lang, {_o_unit_hash('doc_id', 'split')} AS u FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS docs
+FROM u GROUP BY 1, 2
+"""
+
+
+_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_log_parser_spark.textops.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, _RATES).select("doc_id", "lang")
+
+
+def _o_stratified() -> str:
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_RATES.items()))
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang, {_o_unit_hash('doc_id', 'sample')} AS u FROM documents
+)
+SELECT doc_id, lang FROM u
+WHERE u < CASE {cases} ELSE 0.0 END
+"""
+
+
+O_STRATIFIED = _o_stratified()
+
+TEXTOPS_QUERIES["split_assign"] = (q_split_assign, O_SPLIT_ASSIGN)
+TEXTOPS_QUERIES["stratified_sample"] = (q_stratified_sample, O_STRATIFIED)
