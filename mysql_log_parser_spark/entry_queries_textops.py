@@ -481,3 +481,38 @@ O_STRATIFIED = _o_stratified()
 
 TEXTOPS_QUERIES["split_assign"] = (q_split_assign, O_SPLIT_ASSIGN)
 TEXTOPS_QUERIES["stratified_sample"] = (q_stratified_sample, O_STRATIFIED)
+
+
+# -- 10. sequence packing (tokens -> fixed-length training sequences) ----------
+
+_PACK_LEN = 512
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_log_parser_spark.textops.sampling import sequence_pack
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.length("text").cast("int").alias("n_tok"),
+    )
+    return sequence_pack(d, max_len=_PACK_LEN)
+
+
+O_SEQUENCE_PACK = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok FROM documents
+), o AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM d
+)
+SELECT source, doc_id, n_tok, tok_offset,
+       tok_offset // {_PACK_LEN} AS start_seq,
+       (tok_offset + n_tok - 1) // {_PACK_LEN} AS end_seq
+FROM o
+"""
+
+TEXTOPS_QUERIES["sequence_pack"] = (q_sequence_pack, O_SEQUENCE_PACK)

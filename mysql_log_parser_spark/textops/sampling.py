@@ -53,3 +53,42 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return docs.where(u < rate)
+
+
+def sequence_pack(
+    docs: DataFrame,
+    max_len: int = 512,
+    order_col: str = "doc_id",
+    part_col: str = "source",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Assign docs to fixed-length training sequences by contiguous greedy
+    packing of the concatenated token stream, per partition key.
+
+    Each doc's byte/token offset is the running sum of preceding docs'
+    lengths within its partition (deterministic `order_col` order);
+    `start_seq = offset // max_len`.  Docs may straddle sequence boundaries
+    — this computes the assignment/offsets, the actual token slicing is a
+    narrow follow-up map.
+
+    Scale note: the cumulative sum is a window partitioned by `part_col`
+    (source, shard, date...), so parallelism = partition-key cardinality —
+    pick a key with enough distinct values; NEVER an unpartitioned global
+    window at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(len_col).over(w), F.lit(0)).cast("long")
+    return docs.select(
+        part_col,
+        order_col,
+        F.col(len_col).cast("long").alias(len_col),
+        off.alias("tok_offset"),
+        F.floor(off / max_len).cast("long").alias("start_seq"),
+        F.floor((off + F.col(len_col) - 1) / max_len).cast("long").alias("end_seq"),
+    )
