@@ -516,3 +516,42 @@ FROM o
 """
 
 TEXTOPS_QUERIES["sequence_pack"] = (q_sequence_pack, O_SEQUENCE_PACK)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing: tokens are the text's unicode code points (a
+    definition both engines can compute); output is per-sequence length and
+    token-sum checksum so the compare hashes scalars, not giant arrays."""
+    from mysql_log_parser_spark.textops.sampling import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)).alias("tokens"),
+    )
+    seqs = pack_sequences(d, max_len=_PACK_LEN)
+    return seqs.select(
+        "source",
+        "seq_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+    )
+
+
+O_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         list_transform(regexp_extract_all(text, '(?s).'), c -> CAST(unicode(c) AS BIGINT)) AS tokens
+  FROM documents
+), c AS (
+  SELECT source, flatten(list(tokens ORDER BY doc_id)) AS stream FROM t GROUP BY source
+)
+SELECT source,
+       CAST(i AS BIGINT) AS seq_id,
+       CAST(len(stream[i*{_PACK_LEN}+1 : (i+1)*{_PACK_LEN}]) AS BIGINT) AS n_tok,
+       CAST(list_sum(stream[i*{_PACK_LEN}+1 : (i+1)*{_PACK_LEN}]) AS BIGINT) AS tok_sum
+FROM c, (SELECT unnest(generate_series(0, 100000)) AS i)
+WHERE i * {_PACK_LEN} < len(stream)
+"""
+
+TEXTOPS_QUERIES["pack_sequences"] = (q_pack_sequences, O_PACK_SEQUENCES)

@@ -92,3 +92,65 @@ def sequence_pack(
         F.floor(off / max_len).cast("long").alias("start_seq"),
         F.floor((off + F.col(len_col) - 1) / max_len).cast("long").alias("end_seq"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_len: int = 512,
+    order_col: str = "doc_id",
+    part_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Materialize the fixed-length training sequences: per partition key,
+    concatenate doc token arrays in `order_col` order and slice into
+    max_len chunks (final short chunk kept, unpadded).
+
+    Arrow-batched applyInPandas per partition key — the whole group must fit
+    one worker, so `part_col` should be a sharding key of bounded size
+    (source+date, shard id); `sequence_pack` (the assignment pass) is the
+    planning twin that stays fully vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    part_field = docs.schema[part_col]
+    out_schema = StructType(
+        [
+            StructField(part_field.name, part_field.dataType),
+            StructField("seq_id", LongType()),
+            StructField("n_tok", IntegerType()),
+            StructField("tokens", ArrayType(IntegerType())),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        stream = np.concatenate(
+            [np.asarray(t, dtype=np.int32) for t in pdf[tokens_col]]
+        ) if len(pdf) else np.array([], dtype=np.int32)
+        chunks = [
+            stream[i : i + max_len] for i in range(0, len(stream), max_len)
+        ]
+        return pd.DataFrame(
+            {
+                part_field.name: pdf[part_col].iloc[0] if len(pdf) else None,
+                "seq_id": range(len(chunks)),
+                "n_tok": [len(c) for c in chunks],
+                "tokens": chunks,
+            }
+        )
+
+    return (
+        docs.select(part_col, order_col, tokens_col)
+        .groupBy(part_col)
+        .applyInPandas(pack, out_schema)
+    )

@@ -160,3 +160,28 @@ def test_multimodal_plumbing(spark):
     # frame sampling expands video rows JVM-side
     fs = multimodal.frame_sample(media, every_n=30).collect()
     assert len(fs) > 0 and all(r.frame_idx % 30 == 0 for r in fs)
+
+
+def test_pack_sequences_roundtrip(spark):
+    """Concatenating the packed sequences must reproduce each source's
+    token stream exactly (order, content, and length)."""
+    from pyspark.sql import functions as F
+
+    from mysql_log_parser_spark.textops.sampling import pack_sequences
+
+    rows = [
+        (i, f"s{i % 2}", list(range(i * 10, i * 10 + 7 + i)))  # varied lengths
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    seqs = pack_sequences(docs, max_len=16).collect()
+
+    got = {}
+    for r in sorted(seqs, key=lambda r: (r.source, r.seq_id)):
+        got.setdefault(r.source, []).extend(r.tokens)
+        assert r.n_tok == len(r.tokens)
+        assert r.n_tok <= 16
+    want = {}
+    for i, src, toks in rows:
+        want.setdefault(src, []).extend(toks)
+    assert got == want
