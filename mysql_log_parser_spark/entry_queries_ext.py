@@ -632,3 +632,64 @@ FROM e GROUP BY source, fingerprint
 """
 
 EXT_QUERIES["slow_sink_class_agg"] = (q_sink_class_agg, O_SINK_CLASS_AGG)
+
+
+# -- k-means step: one Lloyd iteration over the IVF cells ----------------------
+
+_KM_DIMS = 8  # compare the first 8 centroid coordinates per cell
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) iteration: assign every embedding to its nearest
+    seed centroid (the IVF assignment), then recompute centroids as the
+    per-cell elementwise mean — the building block of the iterative loop,
+    expressed as assignment (broadcast literals, narrow) + one keyed agg."""
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    return (
+        cells.select("cell", F.posexplode("v").alias("pos", "x"))
+        .where(F.col("pos") < _KM_DIMS)
+        .groupBy("cell", F.col("pos").cast("long").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean"))
+    )
+
+
+def _o_kmeans_step() -> str:
+    cents = _centroid_literals()
+    dots = ", ".join(
+        f"list_dot_product(v, {cents[c]}) AS d{c}" for c in range(_IVF_C)
+    )
+    cell = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), d AS (
+  SELECT vec_id, v, {dots} FROM e
+), cells AS (
+  SELECT vec_id, v, CAST({cell} AS BIGINT) AS cell FROM d
+)
+SELECT cell, CAST(p - 1 AS BIGINT) AS pos, count(*) AS n, avg(v[p]) AS mean
+FROM cells, (SELECT unnest(generate_series(1, {_KM_DIMS})) AS p)
+GROUP BY cell, p
+"""
+
+
+O_KMEANS_STEP = _o_kmeans_step()
+
+EXT_QUERIES["ann_kmeans_step"] = (q_kmeans_step, O_KMEANS_STEP)
