@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mysql_log_parser_spark.functions.fingerprint import checksum, fingerprint
-from tests.corpus_fingerprint import CASES, CHECKSUM_CASES
+from tests.corpus_fingerprint import CASES, CHECKSUM_CASES, NONGOAL_CASES
 
 
 def _run_all(spark, inputs):
@@ -40,3 +40,17 @@ def test_checksum_vectors(spark):
 def test_fingerprint_special_cases(spark, q, expect):
     df = spark.createDataFrame([(q,)], "q string")
     assert df.select(fingerprint(F.col("q")).alias("fp")).first().fp == expect
+
+
+@pytest.mark.parametrize(
+    "q,want,why", [pytest.param(q, w, why, id=why[:40]) for q, w, why in NONGOAL_CASES]
+)
+def test_fingerprint_nongoal_regressions(spark, q, want, why):
+    """Reference-skipped cases: pin the ACTIVE chain's real behavior."""
+    got = (
+        spark.createDataFrame([(q,)], "q string")
+        .select(fingerprint(F.col("q")).alias("fp"))
+        .first()
+        .fp
+    )
+    assert got == want, why
