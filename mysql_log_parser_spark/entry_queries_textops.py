@@ -555,3 +555,43 @@ WHERE i * {_PACK_LEN} < len(stream)
 """
 
 TEXTOPS_QUERIES["pack_sequences"] = (q_pack_sequences, O_PACK_SEQUENCES)
+
+
+# -- 11. quality filtering (drop low-quality docs) -----------------------------
+
+_Q_THRESH = 0.6
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_log_parser_spark.textops.quality import quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    ).where(F.col("quality") >= _Q_THRESH)
+
+
+O_QUALITY_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, lang,
+         CAST(len(words) AS DOUBLE) AS n_words,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text) AS punct_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+         len(list_filter(words, x -> list_contains({_ALL_SW}, x))) / len(words) AS stopword_ratio
+  FROM w
+)
+SELECT doc_id, lang,
+       0.4 * least(n_words / 100.0, 1.0)
+     + 0.3 * greatest(0.0, 1.0 - 2.0 * (punct_ratio + digit_ratio))
+     + 0.3 * least(1.0, 4.0 * stopword_ratio) AS quality
+FROM f
+WHERE 0.4 * least(n_words / 100.0, 1.0)
+    + 0.3 * greatest(0.0, 1.0 - 2.0 * (punct_ratio + digit_ratio))
+    + 0.3 * least(1.0, 4.0 * stopword_ratio) >= {_Q_THRESH}
+"""
+
+TEXTOPS_QUERIES["quality_filter"] = (q_quality_filter, O_QUALITY_FILTER)
