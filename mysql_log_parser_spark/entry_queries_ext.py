@@ -693,3 +693,61 @@ GROUP BY cell, p
 O_KMEANS_STEP = _o_kmeans_step()
 
 EXT_QUERIES["ann_kmeans_step"] = (q_kmeans_step, O_KMEANS_STEP)
+
+
+# -- session windows: gap-based per-user sessionization ------------------------
+
+_SESS_GAP_MIN = 5
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window: per-user sessions that extend while consecutive
+    events arrive within the gap — the merge-on-overlap windowing primitive
+    (vs fixed tumbling windows in slow_window_agg)."""
+    ev = ext_parsed_events(spark, sf_dir).withColumn(
+        "ts_parsed", F.to_timestamp("ts", "yyMMdd H:mm:ss")
+    )
+    return (
+        ev.groupBy(
+            F.col("user").alias("usr"),
+            F.session_window("ts_parsed", f"{_SESS_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+        )
+        .select(
+            "usr",
+            F.minute("w.start").cast("long").alias("session_start_min"),
+            "events",
+            "qt_sum",
+        )
+    )
+
+
+_O_SESS_USER_CTE = _ORACLE_EXT_CTE + """
+, eu AS (
+  SELECT 'u' || CAST(user_id % 8 AS VARCHAR) AS usr, mm, qt FROM (
+    SELECT e.*, ev.user_id FROM e JOIN events ev USING (event_id)
+  )
+)
+"""
+
+
+O_SESSION_WINDOW = _O_SESS_USER_CTE + f"""
+, o AS (
+  SELECT usr, mm, qt,
+         CASE WHEN mm - lag(mm) OVER (PARTITION BY usr ORDER BY mm) >= {_SESS_GAP_MIN}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM eu
+), s AS (
+  SELECT usr, mm, qt,
+         sum(new_sess) OVER (PARTITION BY usr ORDER BY mm
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM o
+)
+SELECT usr, min(mm) AS session_start_min, count(*) AS events, sum(qt) AS qt_sum
+FROM s GROUP BY usr, sess_id
+"""
+
+EXT_QUERIES["slow_session_window"] = (q_session_window, O_SESSION_WINDOW)
