@@ -751,3 +751,50 @@ FROM s GROUP BY usr, sess_id
 """
 
 EXT_QUERIES["slow_session_window"] = (q_session_window, O_SESSION_WINDOW)
+
+
+# -- as-of join: config state effective at each event's timestamp --------------
+
+def q_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config changes (per-user limit revisions at minutes 0/20/40) as-of
+    joined onto the parsed event stream: every event gets the limit in
+    force at its minute.  union-tag strategy — one shuffle on the key."""
+    from mysql_log_parser_spark.operators.joins import asof_join
+
+    ev = ext_parsed_events(spark, sf_dir).select(
+        F.col("user").alias("usr"),
+        F.minute(F.to_timestamp("ts", "yyMMdd H:mm:ss")).cast("long").alias("mm"),
+        F.col("query_time").cast("double").alias("qt"),
+    )
+    cfg = (
+        spark.range(8)
+        .select(F.concat(F.lit("u"), F.col("id").cast("string")).alias("usr"), F.col("id"))
+        .crossJoin(spark.range(3).select((F.col("id") * 20).alias("eff_mm")))
+        .select(
+            "usr",
+            "eff_mm",
+            (100 + F.col("id") * 10 + F.col("eff_mm")).cast("long").alias("cfg_limit"),
+        )
+    )
+    joined = asof_join(ev, cfg, on="usr", left_time="mm", right_time="eff_mm",
+                       value_cols=["cfg_limit"])
+    return joined.groupBy("usr", "cfg_limit").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum("qt").alias("qt_sum"),
+    )
+
+
+O_ASOF_CONFIG = _ORACLE_EXT_CTE + """
+, eu AS (
+  SELECT 'u' || CAST(ev.user_id % 8 AS VARCHAR) AS usr,
+         CAST(ev.user_id % 8 AS BIGINT) AS uid, e.mm, e.qt
+  FROM e JOIN events ev USING (event_id)
+)
+SELECT usr,
+       100 + uid * 10 + (CASE WHEN mm >= 40 THEN 40 WHEN mm >= 20 THEN 20 ELSE 0 END) AS cfg_limit,
+       count(*) AS events,
+       sum(qt) AS qt_sum
+FROM eu GROUP BY 1, 2
+"""
+
+EXT_QUERIES["slow_asof_config"] = (q_asof_config, O_ASOF_CONFIG)

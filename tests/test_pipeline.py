@@ -138,3 +138,28 @@ def test_route_loop_heterogeneous(spark, tmp_path):
         assert n == part.where(part.source == src).count()
         total += n
     assert total == ev.count() == 80
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: latest right value at-or-before each left time, per key;
+    null when nothing precedes; right row at equal time applies."""
+    from mysql_log_parser_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 15), ("b", 3), ("b", 30)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "v10"), ("a", 12, "v12"), ("b", 31, "v31")],
+        "k string, rt long, v string",
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    assert got == {
+        ("a", 5): None,     # nothing in force yet
+        ("a", 10): "v10",   # equal-time right row applies
+        ("a", 15): "v12",   # latest preceding
+        ("b", 3): None,
+        ("b", 30): None,    # v31 is in the future
+    }
