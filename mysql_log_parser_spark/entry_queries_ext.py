@@ -798,3 +798,32 @@ FROM eu GROUP BY 1, 2
 """
 
 EXT_QUERIES["slow_asof_config"] = (q_asof_config, O_ASOF_CONFIG)
+
+
+# -- range join: classify events into latency bands ----------------------------
+
+_BANDS = [(0.0, 64.0, "fast"), (64.0, 128.0, "ok"), (128.0, 192.0, "slow"), (192.0, None, "critical")]
+
+
+def q_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_log_parser_spark.operators.joins import range_join_broadcast
+
+    ev = parsed_events(spark, sf_dir).select(
+        F.col("query_time").cast("double").alias("qt")
+    )
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return range_join_broadcast(ev, bands, "qt").groupBy("band").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum("qt").alias("qt_sum"),
+    )
+
+
+O_RANGE_BANDS = _ORACLE_EVENTS_CTE + """
+SELECT CASE WHEN qt < 64 THEN 'fast' WHEN qt < 128 THEN 'ok'
+            WHEN qt < 192 THEN 'slow' ELSE 'critical' END AS band,
+       count(*) AS events,
+       sum(qt) AS qt_sum
+FROM e GROUP BY 1
+"""
+
+EXT_QUERIES["slow_range_bands"] = (q_range_bands, O_RANGE_BANDS)

@@ -55,3 +55,24 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return filled.where(F.col("_is_left") == 1).drop("_t", "_is_left")
+
+
+def range_join_broadcast(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join each fact to the band whose [lo, hi) interval contains its
+    value.  Small band tables (the common case — SLA tiers, size classes)
+    broadcast and the non-equi condition evaluates map-side
+    (BroadcastNestedLoopJoin over a handful of rows per fact).
+
+    Scale path for LARGE interval sets: don't range-join at all — sort the
+    bounds once and bucketize with a binary search / width_bucket-style
+    expression, turning the join into a narrow map (see
+    aggregate.histogram for the equi-width special case)."""
+    v = F.col(value_col)
+    cond = (v >= F.col(lo_col)) & ((v < F.col(hi_col)) | F.col(hi_col).isNull())
+    return facts.join(F.broadcast(bands), cond, "left")
