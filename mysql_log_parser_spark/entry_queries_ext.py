@@ -827,3 +827,33 @@ FROM e GROUP BY 1
 """
 
 EXT_QUERIES["slow_range_bands"] = (q_range_bands, O_RANGE_BANDS)
+
+
+# -- pivot: long-form per-metric stats reshaped to wide ------------------------
+
+def q_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() over the exploded number-metrics map: per class,
+    one column per metric name (values pinned so the pivot is a fixed-width
+    plan — unpinned pivots trigger a distinct-values job first)."""
+    ev = parsed_events(spark, sf_dir)
+    n = ev.select("class_id", F.explode("number_metrics").alias("metric", "v"))
+    return (
+        n.groupBy("class_id")
+        .pivot("metric", ["Rows_sent", "Rows_examined"])
+        .agg(F.sum("v"))
+        .select(
+            "class_id",
+            F.col("Rows_sent").alias("rows_sent_sum"),
+            F.col("Rows_examined").alias("rows_examined_sum"),
+        )
+    )
+
+
+O_STATS_PIVOT = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       sum(rows_sent) AS rows_sent_sum,
+       sum(rows_examined) AS rows_examined_sum
+FROM e GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_stats_pivot"] = (q_stats_pivot, O_STATS_PIVOT)
