@@ -857,3 +857,97 @@ FROM e GROUP BY fingerprint
 """
 
 EXT_QUERIES["slow_stats_pivot"] = (q_stats_pivot, O_STATS_PIVOT)
+
+
+# -- k-means, 2 iterations: the iterative driver-loop pattern ------------------
+
+def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations: after the first assignment, the k x dim centroid
+    means (tiny state) are COLLECTED to the driver and re-broadcast as
+    literals for the second assignment — the canonical structure of an
+    iterative algorithm on Spark: per-iteration keyed aggregation, driver
+    round-trip only for O(k*d) state, never the data."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def assign(df, cents):
+        choice = F.array_max(
+            F.array(
+                *[
+                    F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                    for c in range(len(cents))
+                ]
+            )
+        )
+        return df.withColumn("cell", (-choice.getField("nc")).cast("long"))
+
+    # iteration 1: seed centroids -> assignment -> elementwise means
+    a1 = assign(e, _centroid_literals())
+    m1 = (
+        a1.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("mean"))
+        .collect()
+    )
+    cents2: dict[int, list[float]] = {}
+    for r in m1:
+        cents2.setdefault(int(r.cell), [0.0] * _IVF_DIM)[int(r.pos)] = float(r.mean)
+    # empty cells keep their seed centroid
+    seeds = _centroid_literals()
+    new_cents = [cents2.get(c, seeds[c]) for c in range(_IVF_C)]
+
+    # iteration 2 with the updated centroids
+    a2 = assign(e, new_cents)
+    return a2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.aggregate("v", F.lit(0.0), lambda a, x: a + x)), 6).alias("coord_sum6"),
+    )
+
+
+def _o_kmeans_iter2() -> str:
+    cents = _centroid_literals()
+    dots1 = ", ".join(f"list_dot_product(v, {cents[c]}) AS d{c}" for c in range(_IVF_C))
+    cell_case = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+    # iteration-2 dot products: sum over dims of v[p] * centroid2[cell][p],
+    # centroid2 = per-(cell,pos) mean from iteration 1 (seeds for empty cells)
+    dots2 = ", ".join(
+        f"""(SELECT COALESCE(sum(v[m.pos + 1] * m.mean), list_dot_product(v, {cents[c]}))
+             FROM m WHERE m.cell = {c}) AS e{c}"""
+        for c in range(_IVF_C)
+    )
+    cell2_case = (
+        "CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0 "
+        "WHEN e1 >= e2 AND e1 >= e3 THEN 1 "
+        "WHEN e2 >= e3 THEN 2 ELSE 3 END"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), d1 AS (
+  SELECT vec_id, v, {dots1} FROM e
+), a1 AS (
+  SELECT vec_id, v, CAST({cell_case} AS BIGINT) AS cell FROM d1
+), m AS (
+  SELECT cell, CAST(p - 1 AS BIGINT) AS pos, avg(v[p]) AS mean
+  FROM a1, (SELECT unnest(generate_series(1, {_IVF_DIM})) AS p)
+  GROUP BY cell, p
+), d2 AS (
+  SELECT vec_id, v, {dots2} FROM e
+), a2 AS (
+  SELECT vec_id, v, CAST({cell2_case} AS BIGINT) AS cell FROM d2
+)
+SELECT cell, count(*) AS n,
+       round(sum(list_sum(v)), 6) AS coord_sum6
+FROM a2 GROUP BY cell
+"""
+
+
+O_KMEANS_ITER2 = _o_kmeans_iter2()
+
+EXT_QUERIES["ann_kmeans_iter2"] = (q_kmeans_iter2, O_KMEANS_ITER2)
