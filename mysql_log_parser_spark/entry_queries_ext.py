@@ -662,7 +662,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.select("cell", F.posexplode("v").alias("pos", "x"))
         .where(F.col("pos") < _KM_DIMS)
         .groupBy("cell", F.col("pos").cast("long").alias("pos"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # rounded at the boundary: raw avg doubles differ in ulps across
+            # summation orders (partitioning), exact values do not survive
+            F.round(F.avg("x"), 6).alias("mean"),
+        )
     )
 
 
@@ -684,7 +689,7 @@ WITH e AS (
 ), cells AS (
   SELECT vec_id, v, CAST({cell} AS BIGINT) AS cell FROM d
 )
-SELECT cell, CAST(p - 1 AS BIGINT) AS pos, count(*) AS n, avg(v[p]) AS mean
+SELECT cell, CAST(p - 1 AS BIGINT) AS pos, count(*) AS n, round(avg(v[p]), 6) AS mean
 FROM cells, (SELECT unnest(generate_series(1, {_KM_DIMS})) AS p)
 GROUP BY cell, p
 """
@@ -893,7 +898,9 @@ def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents2: dict[int, list[float]] = {}
     for r in m1:
-        cents2.setdefault(int(r.cell), [0.0] * _IVF_DIM)[int(r.pos)] = float(r.mean)
+        # 9dp rounding pins the iteration-2 centroids against ulp-level
+        # partial-aggregation ordering differences between engines/layouts
+        cents2.setdefault(int(r.cell), [0.0] * _IVF_DIM)[int(r.pos)] = round(float(r.mean), 9)
     # empty cells keep their seed centroid
     seeds = _centroid_literals()
     new_cents = [cents2.get(c, seeds[c]) for c in range(_IVF_C)]
@@ -934,7 +941,7 @@ WITH e AS (
 ), a1 AS (
   SELECT vec_id, v, CAST({cell_case} AS BIGINT) AS cell FROM d1
 ), m AS (
-  SELECT cell, CAST(p - 1 AS BIGINT) AS pos, avg(v[p]) AS mean
+  SELECT cell, CAST(p - 1 AS BIGINT) AS pos, round(avg(v[p]), 9) AS mean
   FROM a1, (SELECT unnest(generate_series(1, {_IVF_DIM})) AS p)
   GROUP BY cell, p
 ), d2 AS (
