@@ -156,8 +156,8 @@ SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
        sum(qt)/count(*) AS qt_avg,
        list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] AS qt_p95,
        list_sort(list(qt))[CAST(50*count(*)//100 AS INT)+1] AS qt_med,
-       sum(rows_sent) AS rs_sum,
-       sum(rows_examined) AS rex_sum,
+       CAST(sum(rows_sent) AS BIGINT) AS rs_sum,
+       CAST(sum(rows_examined) AS BIGINT) AS rex_sum,
        CAST(floor(sum(rows_examined)/count(*)) AS BIGINT) AS rex_avg
 FROM e GROUP BY fingerprint
 """
@@ -186,7 +186,7 @@ SELECT count(*) AS total_queries,
        min(qt) AS qt_min,
        max(qt) AS qt_max,
        list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] AS qt_p95,
-       sum(rows_sent) AS rs_sum
+       CAST(sum(rows_sent) AS BIGINT) AS rs_sum
 FROM e
 """
 

@@ -176,7 +176,7 @@ O_WINDOW_AGG = _ORACLE_EXT_CTE + """
 SELECT mm // 5 AS bucket,
        count(*) AS events,
        sum(qt) AS qt_sum,
-       sum(CASE WHEN is_admin THEN 1 ELSE 0 END) AS admin_events
+       CAST(sum(CASE WHEN is_admin THEN 1 ELSE 0 END) AS BIGINT) AS admin_events
 FROM e GROUP BY 1
 """
 
@@ -459,7 +459,7 @@ SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
        min(qt) AS qt_min,
        max(qt) AS qt_max,
        sum(qt)/count(*) AS qt_avg,
-       sum(rows_examined) AS rex_sum
+       CAST(sum(rows_examined) AS BIGINT) AS rex_sum
 FROM e GROUP BY fingerprint
 """
 
@@ -490,7 +490,7 @@ SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
        CAST(1 AS BIGINT) AS unique_queries,
        sum(qt) AS qt_sum,
        list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] AS qt_p95,
-       sum(rows_examined) AS rex_sum
+       CAST(sum(rows_examined) AS BIGINT) AS rex_sum
 FROM e GROUP BY fingerprint
 UNION ALL
 SELECT NULL,
@@ -499,7 +499,7 @@ SELECT NULL,
        count(DISTINCT fingerprint),
        sum(qt),
        list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1],
-       sum(rows_examined)
+       CAST(sum(rows_examined) AS BIGINT)
 FROM e
 """
 
@@ -522,9 +522,9 @@ def q_bool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_BOOL_STATS = _ORACLE_EXT_CTE + """
 SELECT source, m.metric,
        count(*) AS cnt,
-       sum(CASE WHEN (m.metric = 'QC_Hit' AND event_id % 3 = 0)
-                  OR (m.metric = 'Full_scan' AND event_id % 5 = 0)
-                THEN 1 ELSE 0 END) AS true_cnt
+       CAST(sum(CASE WHEN (m.metric = 'QC_Hit' AND event_id % 3 = 0)
+                       OR (m.metric = 'Full_scan' AND event_id % 5 = 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS true_cnt
 FROM e, (SELECT unnest(['QC_Hit', 'Full_scan']) AS metric) m
 GROUP BY source, m.metric
 """
@@ -627,7 +627,7 @@ SELECT source,
        count(*) AS total_queries,
        sum(qt) AS qt_sum,
        list_sort(list(qt))[CAST(95*count(*)//100 AS INT)+1] AS qt_p95,
-       sum(rows_sent) AS rs_sum
+       CAST(sum(rows_sent) AS BIGINT) AS rs_sum
 FROM e GROUP BY source, fingerprint
 """
 
@@ -856,8 +856,8 @@ def q_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_STATS_PIVOT = _ORACLE_EVENTS_CTE + """
 SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
-       sum(rows_sent) AS rows_sent_sum,
-       sum(rows_examined) AS rows_examined_sum
+       CAST(sum(rows_sent) AS BIGINT) AS rows_sent_sum,
+       CAST(sum(rows_examined) AS BIGINT) AS rows_examined_sum
 FROM e GROUP BY fingerprint
 """
 

@@ -504,14 +504,14 @@ WITH d AS (
   SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok FROM documents
 ), o AS (
   SELECT source, doc_id, n_tok,
-         COALESCE(sum(n_tok) OVER (
+         CAST(COALESCE(sum(n_tok) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
   FROM d
 )
 SELECT source, doc_id, n_tok, tok_offset,
-       tok_offset // {_PACK_LEN} AS start_seq,
-       (tok_offset + n_tok - 1) // {_PACK_LEN} AS end_seq
+       CAST(tok_offset // {_PACK_LEN} AS BIGINT) AS start_seq,
+       CAST((tok_offset + n_tok - 1) // {_PACK_LEN} AS BIGINT) AS end_seq
 FROM o
 """
 

@@ -41,12 +41,31 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Canonical dtype kind: the driver's value-hash is type-sensitive, so a
+    DuckDB HUGEINT (surfacing as float64/object) vs a Spark BIGINT must FAIL
+    here too, not be silently coerced.  i/u fold together; everything else
+    keeps its numpy kind."""
+    k = s.dtype.kind
+    return "i" if k in ("i", "u") else k
+
+
 @pytest.mark.parametrize("name", list(entry_mod.queries().keys()))
 def test_query_vs_oracle(spark, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
-    got = _normalize(q(spark, SF_DIR).toPandas())
-    want = _normalize(_duck(sql))
+    got_raw = q(spark, SF_DIR).toPandas()
+    want_raw = _duck(sql)
+    for c in sorted(got_raw.columns):
+        if c in want_raw.columns:
+            gk, wk = _dtype_kind(got_raw[c]), _dtype_kind(want_raw[c])
+            assert gk == wk, (
+                f"{name}.{c}: dtype kind mismatch spark={got_raw[c].dtype} "
+                f"vs oracle={want_raw[c].dtype} — the driver's type-sensitive "
+                f"hash will flag this (add a CAST in the oracle SQL)"
+            )
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name} columns: {list(got.columns)} != {list(want.columns)}"
     )
