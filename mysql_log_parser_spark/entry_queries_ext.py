@@ -193,7 +193,8 @@ def q_example_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = F.col("query_time").cast("double")
     winner = F.max_by(
         F.struct(
-            F.col("query").alias("q"), F.col("eid").alias("i"), qt.alias("t")
+            F.col("query").alias("q"), F.col("eid").alias("i"), qt.alias("t"),
+            F.col("ts").alias("ts"),
         ),
         F.struct(qt, F.col("eid")),
     )
@@ -203,6 +204,15 @@ def q_example_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         winner.getField("q").alias("example_query"),
         winner.getField("i").alias("example_id"),
         winner.getField("t").alias("example_qt"),
+        # Go reformats the winner's Ts or blanks it on parse failure
+        # (class.go:106-110) — parse-or-blank pinned end-to-end
+        F.coalesce(
+            F.date_format(
+                F.try_to_timestamp(winner.getField("ts"), F.lit("yyMMdd H:mm:ss")),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+            F.lit(""),
+        ).alias("example_ts"),
     )
 
 
@@ -218,7 +228,64 @@ SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
        total_queries,
        query AS example_query,
        CAST(event_id AS BIGINT) AS example_id,
-       qt AS example_qt
+       qt AS example_qt,
+       strftime(strptime('240101 10:00:00', '%y%m%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS example_ts
+FROM r WHERE rn = 1
+"""
+
+
+def q_example_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """example_ts over the EXT corpus, where the Time line VARIES per event
+    (minute = event_id % 60): the argmax winner's raw '#tTime:' text is
+    reparsed and reformatted (class.go:106-110), so the hash covers both the
+    winner selection of ts and the yyMMdd->ISO reformat.  Admin events are
+    excluded so the statement fingerprints match the oracle's derivation."""
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+
+    ev = with_fingerprint(ext_parsed_events(spark, sf_dir)).where(~F.col("admin"))
+    ev = ev.withColumn("eid", F.regexp_extract("query", "id=(\\d+)", 1).cast("long"))
+    qt = F.col("query_time").cast("double")
+    winner = F.max_by(
+        F.struct(F.col("eid").alias("i"), qt.alias("t"), F.col("ts").alias("ts")),
+        F.struct(qt, F.col("eid")),
+    )
+    return ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+        winner.getField("i").alias("example_id"),
+        winner.getField("t").alias("example_qt"),
+        F.coalesce(
+            F.date_format(
+                F.try_to_timestamp(winner.getField("ts"), F.lit("yyMMdd H:mm:ss")),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+            F.lit(""),
+        ).alias("example_ts"),
+    )
+
+
+O_EXAMPLE_TS = f"""
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(event_id % 60 AS BIGINT) AS mm,
+         CAST(round(value*64)/64 AS DOUBLE) AS qt,
+         'select c from t_' || event_type || ' where id=?' AS fingerprint
+  FROM events WHERE event_id % 17 != 0
+), r AS (
+  SELECT fingerprint, event_id, qt, mm,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY qt DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS total_queries
+  FROM e
+)
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       total_queries,
+       CAST(event_id AS BIGINT) AS example_id,
+       qt AS example_qt,
+       strftime(strptime('240101 10:' || lpad(CAST(mm AS VARCHAR), 2, '0') || ':00',
+                         '%y%m%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS example_ts
 FROM r WHERE rn = 1
 """
 
@@ -435,6 +502,7 @@ EXT_QUERIES = {
     "slow_admin_filter": (q_admin_filter, O_ADMIN_FILTER),
     "slow_window_agg": (q_window_agg, O_WINDOW_AGG),
     "slow_example_select": (q_example_select, O_EXAMPLE_SELECT),
+    "slow_example_ts": (q_example_ts, O_EXAMPLE_TS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF),
@@ -958,3 +1026,131 @@ FROM a2 GROUP BY cell
 O_KMEANS_ITER2 = _o_kmeans_iter2()
 
 EXT_QUERIES["ann_kmeans_iter2"] = (q_kmeans_iter2, O_KMEANS_ITER2)
+
+
+# -- A7: GK-sketch digest, oracle-gated with eps rank bounds ------------------
+
+def _rank_band(vals, pct, n):
+    """1-based [lo, hi] element_at bounds for the GK guarantee: a sketch
+    quantile at phi=pct/100 with eps=0.01 returns an element whose rank is
+    within eps*n of phi*n (QuantileSummaries.query contract; the reference's
+    gkquantile carries the same bound, ref:log/stats.go:24,65).  Band =
+    [floor((pct-1)*n/100), floor((pct+1)*n/100)+2] clamped to [1, n] — the
+    exact-rank convention (stats.go:126-128) widened by eps plus one rank of
+    slack on each side for floor/ceil boundary conventions."""
+    lo = F.greatest(F.lit(1), F.floor((F.lit(pct) - 1) * n / 100).cast("int"))
+    hi = F.least(n.cast("int"), F.floor((F.lit(pct) + 1) * n / 100).cast("int") + 2)
+    return F.element_at(vals, lo), F.element_at(vals, hi)
+
+
+def q_class_agg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION percentile path: percentile_approx (Spark's
+    QuantileSummaries is Greenwald-Khanna; accuracy=100 == the reference's
+    GKSummary eps=0.01, ref:log/stats.go:24) gated against exact rank-error
+    bounds computed independently by both engines.  Emits the bounds (hash-
+    compared exactly) and in-bounds booleans (TRUE on the oracle side), so a
+    sketch drifting outside the GK guarantee flips the hash."""
+    from mysql_log_parser_spark.operators.aggregate import GK_ACCURACY
+
+    ev = parsed_events(spark, sf_dir)
+    qt = F.col("query_time").cast("double")
+    n = F.count(F.lit(1))
+    vals = F.array_sort(F.collect_list(qt))
+    pa = F.percentile_approx(qt, F.array(F.lit(0.5), F.lit(0.95)), F.lit(GK_ACCURACY))
+    agg = ev.groupBy("class_id").agg(
+        n.alias("total_queries"),
+        F.element_at(pa, 2).alias("_sk95"),
+        F.element_at(pa, 1).alias("_sk50"),
+        vals.alias("_vals"),
+    )
+    cnt = F.col("total_queries")
+    lo95, hi95 = _rank_band(F.col("_vals"), 95, cnt)
+    lo50, hi50 = _rank_band(F.col("_vals"), 50, cnt)
+    return agg.select(
+        "class_id",
+        cnt,
+        lo95.alias("qt_lo95"),
+        hi95.alias("qt_hi95"),
+        lo50.alias("qt_lo50"),
+        hi50.alias("qt_hi50"),
+        ((F.col("_sk95") >= lo95) & (F.col("_sk95") <= hi95)).alias("p95_in_bounds"),
+        ((F.col("_sk50") >= lo50) & (F.col("_sk50") <= hi50)).alias("p50_in_bounds"),
+    )
+
+
+O_CLASS_AGG_SKETCH = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       count(*) AS total_queries,
+       list_sort(list(qt))[greatest(1, CAST(94*count(*)//100 AS INT))] AS qt_lo95,
+       list_sort(list(qt))[least(CAST(count(*) AS INT), CAST(96*count(*)//100 AS INT)+2)] AS qt_hi95,
+       list_sort(list(qt))[greatest(1, CAST(49*count(*)//100 AS INT))] AS qt_lo50,
+       list_sort(list(qt))[least(CAST(count(*) AS INT), CAST(51*count(*)//100 AS INT)+2)] AS qt_hi50,
+       CAST(TRUE AS BOOLEAN) AS p95_in_bounds,
+       CAST(TRUE AS BOOLEAN) AS p50_in_bounds
+FROM e GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_class_agg_sketch"] = (q_class_agg_sketch, O_CLASS_AGG_SKETCH)
+
+
+# -- S7: report percentile ladder (bin/parser-cli.go:130-137), oracle-gated ---
+
+def q_report_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI report's phi=0..1 step .05 GK ladder, per class holding >10%
+    of traffic (ref:bin/parser-cli.go:130-151): one row per (class, phi) with
+    exact eps-rank bounds and the sketch-in-bounds flag.  phi=0/1 degenerate
+    to min/max and stay in-band via the clamps."""
+    from mysql_log_parser_spark.operators.aggregate import GK_ACCURACY
+
+    ev = parsed_events(spark, sf_dir)
+    qt = F.col("query_time").cast("double")
+    phis = [round(0.05 * i, 2) for i in range(21)]
+    agg = ev.groupBy("class_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            qt, F.array(*[F.lit(p) for p in phis]), F.lit(GK_ACCURACY)
+        ).alias("_ladder"),
+        F.array_sort(F.collect_list(qt)).alias("_vals"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    top = agg.withColumn("_total", total).where(F.col("n") > F.col("_total") / 10)
+    lad = top.select(
+        "class_id", "n", "_vals", F.posexplode("_ladder").alias("i", "_sk")
+    )
+    pct = F.col("i") * 5
+    n = F.col("n")
+    lo = F.element_at(
+        "_vals", F.greatest(F.lit(1), F.floor((pct - 1) * n / 100).cast("int"))
+    )
+    hi = F.element_at(
+        "_vals",
+        F.least(n.cast("int"), F.floor((pct + 1) * n / 100).cast("int") + 2),
+    )
+    return lad.select(
+        "class_id",
+        pct.cast("long").alias("phi_pct"),
+        n,
+        lo.alias("qt_lo"),
+        hi.alias("qt_hi"),
+        ((F.col("_sk") >= lo) & (F.col("_sk") <= hi)).alias("in_bounds"),
+    )
+
+
+O_REPORT_LADDER = _ORACLE_EVENTS_CTE + """
+, c AS (
+  SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+         count(*) AS n,
+         list_sort(list(qt)) AS vals
+  FROM e GROUP BY fingerprint
+  HAVING count(*) > (SELECT count(*) FROM e) / 10
+)
+SELECT class_id,
+       CAST(p.i * 5 AS BIGINT) AS phi_pct,
+       n,
+       vals[greatest(1, CAST((p.i*5 - 1) * n // 100 AS INT))] AS qt_lo,
+       vals[least(CAST(n AS INT), CAST((p.i*5 + 1) * n // 100 AS INT) + 2)] AS qt_hi,
+       CAST(TRUE AS BOOLEAN) AS in_bounds
+FROM c, (SELECT unnest(generate_series(0, 20)) AS i) p
+"""
+
+EXT_QUERIES["slow_report_ladder"] = (q_report_ladder, O_REPORT_LADDER)

@@ -297,22 +297,19 @@ def _as_double(c) -> F.Column:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the library kernel directly (textops/similarity.py:
+    cosine_topk_bruteforce) — prenormed single-dot rerank, round-before-rank."""
+    from mysql_log_parser_spark.textops.similarity import cosine_topk_bruteforce
+
     e = _emb(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
-    q = e.where(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    scored = (
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec"))
-        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos6", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _K)
-        .select("query_id", "neighbor_id", "cos6", F.col("rank").cast("long").alias("rank"))
+    r = cosine_topk_bruteforce(e, e.where(F.col("vec_id") < _NQ), k=_K, round_to=6)
+    return r.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("cos6"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -371,14 +368,24 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
-    s = corpus.withColumn("bucket", sig)
+    from mysql_log_parser_spark.textops.similarity import cosine_prenorm, norm
+
+    s = corpus.withColumn("bucket", sig).withColumn("nrm", norm(F.col("v")))
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos6", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_prenorm(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ),
+        )
         .where(F.col("cos6") >= _COS_T)
         .select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6"
@@ -412,6 +419,77 @@ WHERE round(list_dot_product(a.v, b.v)
 O_EMBED_NEAR_DUP = _o_embed_near_dup()
 
 
+# -- 8b. multi-table hyperplane-LSH ANN (the scale path), oracle-gated ---------
+
+_LSH_PLANES = 6
+_LSH_TABLES = 4
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates textops/similarity.py:cosine_topk_lsh — the candidate set
+    (bucket-equality in ANY of 4 hyperplane tables) and the exact rerank are
+    both deterministic (md5-seeded planes), so the oracle replicates the full
+    LSH pipeline in SQL and the hash compare is exact, not recall-thresholded."""
+    from mysql_log_parser_spark.textops.similarity import cosine_topk_lsh
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    r = cosine_topk_lsh(
+        e,
+        e.where(F.col("vec_id") < _NQ),
+        dim=_DIM,
+        k=_K,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        round_to=6,
+    )
+    return r.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("cos6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _o_ann_lsh_topk() -> str:
+    from mysql_log_parser_spark.textops.similarity import _plane
+
+    tables = []
+    for t in range(_LSH_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane(t, p, _DIM)}) > 0 THEN {2**p} ELSE 0 END"
+            for p in range(_LSH_PLANES)
+        )
+        tables.append(f"SELECT vec_id, {t} AS t, {bits} AS b FROM e")
+    cl = " UNION ALL ".join(tables)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cl AS (
+  {cl}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM cl q JOIN cl n ON q.t = n.t AND q.b = n.b
+  WHERE q.vec_id < {_NQ} AND n.vec_id != q.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos6
+  FROM cand c
+  JOIN e a ON a.vec_id = c.query_id
+  JOIN e b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos6, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+O_ANN_LSH_TOPK = _o_ann_lsh_topk()
+
+
 TEXTOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
@@ -420,6 +498,7 @@ TEXTOPS_QUERIES = {
     "simhash_docs": (q_simhash, O_SIMHASH),
     "minhash_lsh_pairs": (q_minhash_pairs, O_MINHASH_PAIRS),
     "ann_cosine_topk": (q_ann_topk, O_ANN_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "embed_near_dup": (q_embed_near_dup, O_EMBED_NEAR_DUP),
 }
 
