@@ -964,11 +964,21 @@ def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("x").alias("mean"))
         .collect()
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round9(x: float) -> float:
+        # DuckDB round() is half-AWAY-FROM-ZERO; Python round() is
+        # half-to-even — a mean on a 9dp half boundary would flip an
+        # iteration-2 assignment between engines.  Quantize the shortest
+        # decimal repr with HALF_UP (= away from zero for either sign) so
+        # both engines pin identical centroid literals.
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
     cents2: dict[int, list[float]] = {}
     for r in m1:
         # 9dp rounding pins the iteration-2 centroids against ulp-level
         # partial-aggregation ordering differences between engines/layouts
-        cents2.setdefault(int(r.cell), [0.0] * _IVF_DIM)[int(r.pos)] = round(float(r.mean), 9)
+        cents2.setdefault(int(r.cell), [0.0] * _IVF_DIM)[int(r.pos)] = _round9(float(r.mean))
     # empty cells keep their seed centroid
     seeds = _centroid_literals()
     new_cents = [cents2.get(c, seeds[c]) for c in range(_IVF_C)]

@@ -26,6 +26,18 @@ from mysql_log_parser_spark.entry_queries import (
 from mysql_log_parser_spark.streaming.pipeline import stream_events
 
 
+def _await_bounded(q, timeout_sec: int = 600) -> None:
+    """Fail loudly if the bounded (availableNow) stream has not drained in
+    time — a silent timeout would hash-compare a PARTIAL sink as if it were
+    the complete result."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"bounded stream {q.name or q.id} still running after "
+            f"{timeout_sec}s; refusing to read a partial sink"
+        )
+
+
 def _tokens_chunks(spark: SparkSession, sf_dir: str) -> str:
     """Render the corpus and write it as a 2-chunk tokens directory."""
     d = tempfile.mkdtemp(prefix="mlp_stream_in_")
@@ -54,7 +66,7 @@ def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="mlp_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="mlp_stream_ckpt_")
     q = start_routed_sink(stream_events(spark, ind), out, ckpt)
-    q.awaitTermination(600)
+    _await_bounded(q)
     routed = spark.read.parquet(out)
     return routed.groupBy("source").agg(
         F.count(F.lit(1)).alias("routed_rows"),
@@ -87,7 +99,7 @@ def q_stream_stateful_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_bounded(q)
     # one update row per class per micro-batch; the final state per class is
     # the row with the largest (monotone) count
     return (

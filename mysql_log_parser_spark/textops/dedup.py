@@ -46,22 +46,31 @@ def minhash_array(shingles: Column, num_hashes: int = 16) -> Column:
     ``mh_i = min over shingles of (h1(s) + i * h2(s))`` with h1/h2 the two
     48-bit halves of md5(s).
 
-    One md5 + one fold per shingle for the WHOLE signature — versus one md5
-    per (shingle, hash) with per-seed string minima, which as an interpreted
-    higher-order expression was ~num_hashes times slower.  Deterministic, no
-    RNG state, reproducible in any engine with md5.  Null for shingle-less
-    docs (never all-equal sentinel signatures that would band-collide every
-    empty doc with every other)."""
+    HOF lambdas re-evaluate every non-lambda-variable subexpression per
+    element (interpreted, never CSE'd), so md5 must NOT appear inside the
+    per-seed zip_with: the md5 digests and the (h1, h2) pairs are
+    materialized by two prior transforms (one md5 eval per shingle), and the
+    fold's lambda only reads struct fields of its own lambda variable.
+    Deterministic, no RNG state, reproducible in any engine with md5.  Null
+    for shingle-less docs (never all-equal sentinel signatures that would
+    band-collide every empty doc with every other).  The Arrow-batched
+    shingle_minhash kernel below is still the preferred hot path; this is
+    the pure-Catalyst variant."""
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    digests = F.transform(shingles, lambda s: F.md5(s))
+    pairs = F.transform(
+        digests,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("h2"),
+        ),
+    )
 
-    def step(acc: Column, s: Column) -> Column:
-        h = F.md5(s)
-        h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
-        h2 = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
-        return F.zip_with(acc, idx, lambda a, i: F.least(a, h1 + i * h2))
+    def step(acc: Column, p: Column) -> Column:
+        return F.zip_with(acc, idx, lambda a, i: F.least(a, p["h1"] + i * p["h2"]))
 
     init = F.array_repeat(F.lit(_MH_INIT).cast("long"), num_hashes)
-    return F.when(F.size(shingles) > 0, F.aggregate(shingles, init, step))
+    return F.when(F.size(shingles) > 0, F.aggregate(pairs, init, step))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -69,3 +69,82 @@ def test_idempotent_reprocess_of_uncommitted(spark, chunked_input, tmp_path):
     )
     runner.run_incremental(chunked_input, pipe.events)
     assert runner.events().count() == 4 * 6 * 10  # no dupes, no loss
+
+
+def test_late_arriving_chunk(spark, chunked_input, tmp_path):
+    """Resume across the chunk boundary when NEW input arrives after a full
+    run: only the new chunk is processed, committed output is untouched."""
+    out = str(tmp_path / "out")
+    pipe = SlowLogPipeline(spark)
+    runner = CheckpointedRunner(spark, out)
+    runner.run_incremental(chunked_input, pipe.events)
+    assert len(runner.committed_chunks()) == 4
+
+    synth.generate_parquet(
+        os.path.join(chunked_input, "chunk9.parquet"),
+        n_docs=6, events_per_doc=10, seed=999,
+    )
+    recs = CheckpointedRunner(spark, out).run_incremental(chunked_input, pipe.events)
+    assert [r["chunk"] for r in recs] == ["chunk9.parquet"]
+    assert runner.events().count() == 5 * 6 * 10
+
+
+class _FakeReader:
+    def __init__(self):
+        self.fmt, self.opts, self.loaded = None, {}, None
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self, loc):
+        self.loaded = loc
+        return "SENTINEL_DF"
+
+
+class _FakeConf:
+    def get(self, key, default=None):
+        if key == "spark.sql.catalog.cat":
+            return "org.apache.iceberg.spark.SparkCatalog"
+        return default
+
+
+class _FakeSpark:
+    """Just enough SparkSession surface to assert the Iceberg reader-option
+    contract without an Iceberg catalog in the sandbox."""
+
+    def __init__(self):
+        self.conf = _FakeConf()
+        self.read = _FakeReader()
+
+
+def test_iceberg_snapshot_range_reader_options():
+    """read_snapshot_range builds an incremental Iceberg read with
+    start/end-snapshot-id options (the Options.StartOffset analogue at table
+    granularity, ref:log/parser/options.go:4)."""
+    from mysql_log_parser_spark.sources.tokens_table import TokensTable
+
+    fake = _FakeSpark()
+    df = TokensTable(fake, "cat.db.tokens").read_snapshot_range(10, 20)
+    assert df == "SENTINEL_DF"
+    assert fake.read.fmt == "iceberg"
+    assert fake.read.opts == {"start-snapshot-id": "10", "end-snapshot-id": "20"}
+    assert fake.read.loaded == "cat.db.tokens"
+
+    fake2 = _FakeSpark()
+    TokensTable(fake2, "cat.db.tokens").read_snapshot_range(7)
+    assert fake2.read.opts == {"start-snapshot-id": "7"}
+
+
+def test_snapshot_range_requires_catalog(spark, tmp_path):
+    """Parquet-dir layouts must route resume through CheckpointedRunner:
+    read_snapshot_range refuses loudly rather than silently full-scanning."""
+    from mysql_log_parser_spark.sources.tokens_table import TokensTable
+
+    t = TokensTable(spark, str(tmp_path))
+    with pytest.raises(NotImplementedError, match="CheckpointedRunner"):
+        t.read_snapshot_range(1)
