@@ -167,6 +167,11 @@ def main() -> None:
         timed.update(TEXTOPS_QUERIES)
         # the O(N^2) correctness baseline is deliberately not a benchmark surface
         timed.pop("ngram_jaccard_pairs", None)
+        # sketch-vs-exact gate queries carry exact-mode collect_list bounds
+        # (test-scale gate machinery); their production path, percentile_approx,
+        # is already what the flagship benches
+        timed.pop("slow_class_agg_sketch", None)
+        timed.pop("slow_report_ladder", None)
         for name, (fn, _) in timed.items():
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))

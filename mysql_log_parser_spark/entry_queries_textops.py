@@ -674,3 +674,110 @@ WHERE 0.4 * least(n_words / 100.0, 1.0)
 """
 
 TEXTOPS_QUERIES["quality_filter"] = (q_quality_filter, O_QUALITY_FILTER)
+
+
+# -- 11. Gopher-style repetition signals ---------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word/bigram share + type-token ratio per doc (the
+    Gopher repetition filters), computed as narrow sorted-array folds — the
+    oracle independently derives the same frequencies via unnest/groupBy."""
+    from mysql_log_parser_spark.textops.quality import with_repetition
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_repetition(d).select(
+        "doc_id",
+        "n_words",
+        "max_word_freq",
+        "max_bigram_freq",
+        "word_rep_permille",
+        "bigram_rep_permille",
+        "distinct_word_permille",
+    )
+
+
+O_REPETITION_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, w,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+  FROM d
+), wf AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_wf FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS word FROM d)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bf FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS g
+      FROM d WHERE len(w) >= 2
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       n_words,
+       COALESCE(max_wf, 0) AS max_word_freq,
+       COALESCE(max_bf, 0) AS max_bigram_freq,
+       CAST(CASE WHEN n_words > 0 THEN 1000 * COALESCE(max_wf, 0) // n_words ELSE 0 END AS BIGINT) AS word_rep_permille,
+       CAST(CASE WHEN n_words > 1 THEN 1000 * COALESCE(max_bf, 0) // (n_words - 1) ELSE 0 END AS BIGINT) AS bigram_rep_permille,
+       CAST(CASE WHEN n_words > 0 THEN 1000 * n_distinct // n_words ELSE 0 END AS BIGINT) AS distinct_word_permille
+FROM base b LEFT JOIN wf USING (doc_id) LEFT JOIN bg USING (doc_id)
+"""
+
+TEXTOPS_QUERIES["repetition_stats"] = (q_repetition_stats, O_REPETITION_STATS)
+
+
+# -- 12. PII redaction ---------------------------------------------------------
+
+_PII_MOD = 7
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus carries no PII, so every doc_id % 7 == 0 doc gets the SAME
+    deterministic email+phone suffix in both engines; the redaction result
+    is hash-compared via md5 of the redacted text."""
+    from mysql_log_parser_spark.textops.pii import with_pii_redaction
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _PII_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return with_pii_redaction(d).select(
+        "doc_id", "n_emails", "n_phones", "pii_clean", "redacted_md5"
+    )
+
+
+O_PII_REDACT = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PII_MOD} = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+       (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))
+        + len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))) = 0 AS pii_clean,
+       md5(regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS redacted_md5
+FROM d
+"""
+
+TEXTOPS_QUERIES["pii_redact"] = (q_pii_redact, O_PII_REDACT)

@@ -108,3 +108,72 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in token_counts(t).items():
         out = out.withColumn(name, col)
     return out.withColumn("fingerprint64", rolling_fingerprint(t))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Max run length in a SORTED array == max element frequency, in one
+    narrow fold (no per-doc explode/groupBy shuffle).  The lambda only
+    touches its own lambda variables, so nothing is re-evaluated per element
+    (interpreted-HOF rule)."""
+    zero = F.lit(0).cast("long")
+    st = F.aggregate(
+        sorted_arr,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    return st["best"]
+
+
+def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): most-frequent
+    word/bigram share and type-token ratio, emitted as integer permille so
+    oracle comparison is exact.  All narrow Catalyst folds — embarrassingly
+    parallel per doc, no shuffle, the shape that survives 10^12 docs.
+
+    Staged projections keep each non-cheap HOF evaluated ONCE per row: the
+    words array and each _max_run fold are produced in their own projection
+    and only referenced as attributes downstream (CollapseProject will not
+    inline a non-cheap expression referenced more than once)."""
+    w = F.col("_w")
+    n_words = F.col("n_words")
+    gcount = F.greatest(n_words - 1, F.lit(0)).cast("int")
+    grams = F.when(
+        gcount > 0,
+        F.transform(F.sequence(F.lit(1), gcount), lambda i: F.concat_ws(" ", F.slice(w, i, 2))),
+    ).otherwise(F.array())
+    staged = (
+        docs.withColumn("_w", words_of(F.col(text_col)))
+        .withColumn("n_words", F.size(w).cast("long"))
+        .withColumn("n_distinct_words", F.size(F.array_distinct(w)).cast("long"))
+        .withColumn(
+            "max_word_freq",
+            F.when(n_words > 0, _max_run(F.array_sort(w))).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "max_bigram_freq",
+            F.when(gcount > 0, _max_run(F.array_sort(grams))).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    wf, bf, nd = F.col("max_word_freq"), F.col("max_bigram_freq"), F.col("n_distinct_words")
+    return (
+        staged.withColumn(
+            "word_rep_permille",
+            F.when(n_words > 0, F.floor(1000 * wf / n_words)).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "bigram_rep_permille",
+            F.when(n_words > 1, F.floor(1000 * bf / (n_words - 1))).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "distinct_word_permille",
+            F.when(n_words > 0, F.floor(1000 * nd / n_words)).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_w")
+    )

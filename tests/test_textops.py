@@ -185,3 +185,47 @@ def test_pack_sequences_roundtrip(spark):
     for i, src, toks in rows:
         want.setdefault(src, []).extend(toks)
     assert got == want
+
+
+def test_repetition_features_edges(spark):
+    from mysql_log_parser_spark.textops.quality import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),              # one word repeated 4x
+            (1, "x y x y x y"),          # bigram "x y" 3x of 5 bigrams
+            (2, "all distinct words here"),
+            (3, "solo"),                 # single word: no bigrams
+            (4, "   "),                  # whitespace only: no words
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in with_repetition(df).collect()}
+    assert r[0]["max_word_freq"] == 4 and r[0]["word_rep_permille"] == 1000
+    assert r[0]["max_bigram_freq"] == 3  # "a a" 3x
+    assert r[1]["max_bigram_freq"] == 3 and r[1]["bigram_rep_permille"] == 600
+    assert r[2]["max_word_freq"] == 1 and r[2]["distinct_word_permille"] == 1000
+    assert r[3]["n_words"] == 1 and r[3]["max_bigram_freq"] == 0
+    assert r[4]["n_words"] == 0 and r[4]["word_rep_permille"] == 0
+
+
+def test_pii_redaction(spark):
+    from mysql_log_parser_spark.textops.pii import with_pii_redaction
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@ex-site.org or x@y.io"),
+            (1, "call 555-123-4567 now"),
+            (2, "clean text"),
+            (3, "both bob@corp.com and 111-222-3333"),
+            (4, "not a phone 55-123-4567 or 5555-123-4567x"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in with_pii_redaction(df).collect()}
+    assert r[0]["n_emails"] == 2 and r[0]["redacted"] == "mail me at <EMAIL> or <EMAIL>"
+    assert r[1]["n_phones"] == 1 and r[1]["redacted"] == "call <PHONE> now"
+    assert r[2]["pii_clean"] and r[2]["redacted"] == "clean text"
+    assert r[3]["redacted"] == "both <EMAIL> and <PHONE>"
+    # \b guards: digit runs that aren't exactly 3-3-4 at word boundaries stay
+    assert r[4]["n_phones"] == 0 and not r[4]["redacted"].count("<PHONE>")
