@@ -781,3 +781,50 @@ FROM d
 """
 
 TEXTOPS_QUERIES["pii_redact"] = (q_pii_redact, O_PII_REDACT)
+
+
+# -- 13. benchmark decontamination ---------------------------------------------
+
+_DECON_N = 5
+_DECON_MOD = 11
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc_id % 11 == 0 doc plays the 'benchmark set'; its distinct
+    word 5-grams are broadcast and every doc is scored by overlap count.
+    The probe docs trivially flag themselves — exactly what a real
+    decontamination pass does to verbatim benchmark leakage."""
+    from mysql_log_parser_spark.textops.decontam import (
+        contamination_hits,
+        probe_ngrams,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = probe_ngrams(d.where(F.col("doc_id") % _DECON_MOD == 0), n=_DECON_N)
+    return contamination_hits(d, probes, n=_DECON_N)
+
+
+O_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+{_DECON_N - 1}], ' ')
+                   for i in generate_series(1, len(w) - {_DECON_N - 1})]) AS gram
+    FROM w WHERE len(w) >= {_DECON_N}
+  )
+), p AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0
+), h AS (
+  SELECT g.doc_id, count(*) AS n FROM g JOIN p USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_probe_hits,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+TEXTOPS_QUERIES["decontaminate"] = (q_decontaminate, O_DECONTAMINATE)

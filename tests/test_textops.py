@@ -229,3 +229,30 @@ def test_pii_redaction(spark):
     assert r[3]["redacted"] == "both <EMAIL> and <PHONE>"
     # \b guards: digit runs that aren't exactly 3-3-4 at word boundaries stay
     assert r[4]["n_phones"] == 0 and not r[4]["redacted"].count("<PHONE>")
+
+
+def test_decontamination(spark):
+    from mysql_log_parser_spark.textops.decontam import (
+        contamination_hits,
+        probe_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a clean doc with no benchmark overlap at all"),
+            (2, "prefix words then the quick brown fox jumps verbatim"),
+            (3, "short doc"),  # < n words: no grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 0)
+    r = {
+        row["doc_id"]: row
+        for row in contamination_hits(docs, probe_ngrams(bench, n=5), n=5).collect()
+    }
+    assert len(r) == 4  # zero-hit docs preserved by the left join
+    assert r[0]["contaminated"]  # benchmark doc flags itself
+    assert r[2]["contaminated"] and r[2]["n_probe_hits"] == 1  # "the quick brown fox jumps"
+    assert not r[1]["contaminated"] and r[1]["n_probe_hits"] == 0
+    assert not r[3]["contaminated"]
