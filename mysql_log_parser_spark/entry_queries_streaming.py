@@ -126,3 +126,73 @@ STREAMING_QUERIES = {
     "stream_route_counts": (q_stream_route_counts, O_STREAM_ROUTE_COUNTS),
     "stream_stateful_digest": (q_stream_stateful_digest, O_STREAM_STATEFUL_DIGEST),
 }
+
+
+def _ext_tokens_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """EXT corpus (per-event timestamps, admin lines, rate headers) rendered
+    to a 2-chunk tokens directory for event-time streaming queries."""
+    from mysql_log_parser_spark.entry_queries_ext import ext_docs_from_events
+
+    d = tempfile.mkdtemp(prefix="mlp_stream_ext_in_")
+    (
+        ext_docs_from_events(spark, sf_dir)
+        .repartition(2)
+        .select("doc_id", encode_tokens("text").alias("tokens"), "source")
+        .withColumn("n_tok", F.size("tokens"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (5 min) per query class over the STREAM,
+    complete output mode: the final memory-sink table is the full windowed
+    result regardless of micro-batch boundaries, so the comparison is exact.
+    Event time is the parsed '# Time:' line (varies per event in the EXT
+    corpus); admin events are excluded so class fingerprints match the
+    oracle's derivation.  Late-data *eviction* (append mode + watermark
+    drop) is exercised in tests/test_streaming.py; this query gates the
+    windowed-aggregation semantics themselves."""
+    from mysql_log_parser_spark.streaming.pipeline import (
+        stream_events,
+        windowed_class_counts,
+    )
+
+    ind = _ext_tokens_chunks(spark, sf_dir)
+    name = f"mlp_winagg_{uuid.uuid4().hex[:8]}"
+    ev = stream_events(spark, ind).where(~F.col("admin"))
+    q = (
+        windowed_class_counts(ev, window="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q)
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "class_id",
+        "total_queries",
+        "qt_sum",
+        F.col("qt_max").cast("double").alias("qt_max"),
+    )
+
+
+O_STREAM_WINDOW_AGG = """
+WITH e AS (
+  SELECT CAST(event_id % 60 AS BIGINT) AS mm,
+         CAST(round(value*64)/64 AS DOUBLE) AS qt,
+         'select c from t_' || event_type || ' where id=?' AS fingerprint
+  FROM events WHERE event_id % 17 != 0
+)
+SELECT '2024-01-01 10:' || lpad(CAST((mm // 5) * 5 AS VARCHAR), 2, '0') || ':00' AS window_start,
+       upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       max(qt) AS qt_max
+FROM e GROUP BY 1, 2
+"""
+
+STREAMING_QUERIES["stream_window_agg"] = (q_stream_window_agg, O_STREAM_WINDOW_AGG)

@@ -102,3 +102,77 @@ def test_stateful_running_digest(spark, tmp_path):
         for r in batch.groupBy("class_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == want
+
+
+def _ts_docs(spark, path, minutes, start_id=0):
+    """One single-event doc per minute value, written as a tokens chunk."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for k, mm in enumerate(minutes):
+        text = (
+            f"# Time: 240101 10:{mm:02d}:00\n"
+            "# User@Host: u[u] @ h []\n"
+            "# Query_time: 1.000000  Lock_time: 0.000000 "
+            "Rows_sent: 1  Rows_examined: 1\n"
+            "SELECT c FROM t WHERE id=1;\n"
+        )
+        toks = np.frombuffer(text.encode(), dtype=np.uint8).astype("int32")
+        rows.append((f"d{start_id + k}", list(toks), len(toks), "s0"))
+    t = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"]),
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("tokens", pa.list_(pa.int32())),
+                ("n_tok", pa.int64()),
+                ("source", pa.string()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(t, path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark: a row older than (max event time - delay)
+    arriving in a later micro-batch is DROPPED — its already-finalized
+    window is emitted with the on-time count only, and never re-emitted."""
+    from mysql_log_parser_spark.streaming.pipeline import windowed_class_counts
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    # batch 1: minutes 0, 11, 20, 30 -> watermark after batch 1 = 10:28
+    _ts_docs(spark, str(ind / "c0.parquet"), [0, 11, 20, 30])
+
+    agg = windowed_class_counts(
+        stream_events(spark, str(ind)), window="5 minutes", watermark="2 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event at 10:11 (< watermark 10:28, dropped) plus a
+        # fresh event at 10:40 that advances the clock
+        _ts_docs(spark, str(ind / "c1.parquet"), [11, 40], start_id=10)
+        q.processAllAvailable()
+        rows = {
+            r["start"].strftime("%H:%M"): r["total_queries"]
+            for r in spark.sql(
+                "select win.start as start, total_queries from late_drop"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # the 10:10 window was finalized with ONLY the on-time event
+    assert rows.get("10:10") == 1
+    # each emitted window appears exactly once, and nothing beyond the
+    # watermark (10:38) was emitted
+    assert "10:40" not in rows
