@@ -271,19 +271,20 @@ WITH c AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM long a JOIN long b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+           / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+  FROM cands
+  JOIN shs sa ON sa.doc_id = id_a
+  JOIN shs sb ON sb.doc_id = id_b
+  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+        / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= {_THRESH}
 )
-SELECT id_a, id_b,
-       len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
-         / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
-FROM cands
-JOIN shs sa ON sa.doc_id = id_a
-JOIN shs sb ON sb.doc_id = id_b
-WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
-      / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= {_THRESH}
 """
 
 
-O_MINHASH_PAIRS = _o_minhash_pairs()
+O_MINHASH_PAIRS = _o_minhash_pairs() + "SELECT id_a, id_b, jaccard FROM pairs"
 
 
 # -- 7. ANN: brute-force cosine top-k -------------------------------------------
@@ -828,3 +829,58 @@ FROM documents d LEFT JOIN h USING (doc_id)
 """
 
 TEXTOPS_QUERIES["decontaminate"] = (q_decontaminate, O_DECONTAMINATE)
+
+
+# -- 14. dedup components: pairs -> canonical keep-list ------------------------
+
+_CC_ITERS = 3
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step of the dedup pipeline: the (verified) minhash-LSH
+    near-dup pairs become duplicate components via bounded min-label
+    propagation, and keep = (doc_id == component) selects one canonical
+    survivor per cluster.  Both engines run the SAME fixed iteration count,
+    so the comparison is exact even where propagation has not converged."""
+    from mysql_log_parser_spark.textops.dedup import (
+        components_from_pairs,
+        minhash_dedup_pairs,
+    )
+
+    corpus = _mutated_docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, n=_NGRAM, num_hashes=_MH, bands=_BANDS, threshold=_THRESH
+    )
+    return components_from_pairs(pairs, corpus, iters=_CC_ITERS)
+
+
+def _o_dedup_components() -> str:
+    prop = []
+    for t in range(_CC_ITERS):
+        prop.append(
+            f"""l{t + 1} AS (
+  SELECT l.v, least(l.label, COALESCE(m.nm, l.label)) AS label
+  FROM l{t} l LEFT JOIN (
+    SELECT s.src, min(d.label) AS nm
+    FROM sym s JOIN l{t} d ON d.v = s.dst
+    GROUP BY s.src
+  ) m ON m.src = l.v
+)"""
+        )
+    return (
+        _o_minhash_pairs()
+        + f""", sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), l0 AS (
+  SELECT doc_id AS v, doc_id AS label FROM c
+), {', '.join(prop)}
+SELECT v AS doc_id, label AS component, v = label AS keep FROM l{_CC_ITERS}
+"""
+    )
+
+
+O_DEDUP_COMPONENTS = _o_dedup_components()
+
+TEXTOPS_QUERIES["dedup_components"] = (q_dedup_components, O_DEDUP_COMPONENTS)

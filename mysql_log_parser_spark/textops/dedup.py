@@ -289,3 +289,52 @@ def simhash_buckets(
         .agg(F.count(F.lit(1)).alias("bucket_size"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.col("bucket_size") > 1)
     )
+
+
+def components_from_pairs(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Near-dup pairs -> duplicate components -> canonical keep decision,
+    via BOUNDED min-label propagation: label(v) starts as v's own id and
+    each round becomes min(label(v), min of neighbors' labels).
+
+    After k rounds label(v) = min id within graph distance k, so any
+    cluster of diameter <= iters gets one canonical label (the min id) and
+    `keep = (id == component)` selects exactly one survivor per cluster —
+    the decision step a dedup pipeline actually ships.
+
+    Scale shape: the iterative pattern is the same as the k-means loop —
+    the driver holds NO data, each round is one keyed equi-join + keyed min
+    (both on id), and edge count is bounded by the (already verified)
+    near-dup pair set, not the corpus.  `iters` is FIXED, not run to
+    convergence, so two engines running the same rounds agree exactly even
+    on graphs where propagation has not converged."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = ids.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    for _ in range(iters):
+        lab_dst = labels.select(
+            F.col("v").alias("dst"), F.col("label").alias("dst_label")
+        )
+        nbr = (
+            sym.join(lab_dst, "dst")
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+            .withColumnRenamed("src", "v")
+        )
+        labels = labels.join(nbr, "v", "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.col("label").alias("component"),
+        (F.col("v") == F.col("label")).alias("keep"),
+    )

@@ -256,3 +256,18 @@ def test_decontamination(spark):
     assert r[2]["contaminated"] and r[2]["n_probe_hits"] == 1  # "the quick brown fox jumps"
     assert not r[1]["contaminated"] and r[1]["n_probe_hits"] == 0
     assert not r[3]["contaminated"]
+
+
+def test_components_from_pairs(spark):
+    from mysql_log_parser_spark.textops.dedup import components_from_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2 (diameter 2), pair 5-6, singletons 3,4,7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    r = {row["doc_id"]: row for row in components_from_pairs(pairs, ids).collect()}
+    assert [r[i]["component"] for i in range(8)] == [0, 0, 0, 3, 4, 5, 5, 7]
+    assert [r[i]["keep"] for i in range(8)] == [
+        True, False, False, True, True, True, False, True,
+    ]
