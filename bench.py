@@ -172,6 +172,10 @@ def main() -> None:
         # is already what the flagship benches
         timed.pop("slow_class_agg_sketch", None)
         timed.pop("slow_report_ladder", None)
+        # the chunked raw-log query spends its time RENDERING a log file on
+        # the driver (toLocalIterator) before the scan; the scan itself is
+        # the same parse kernel the flagship already benches
+        timed.pop("slow_rawlog_chunked", None)
         for name, (fn, _) in timed.items():
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))

@@ -1164,3 +1164,53 @@ FROM c, (SELECT unnest(generate_series(0, 20)) AS i) p
 """
 
 EXT_QUERIES["slow_report_ladder"] = (q_report_ladder, O_REPORT_LADDER)
+
+
+# -- distributed raw-log byte-range scan (single huge file, parallel parse) ---
+
+def q_rawlog_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the corpus as ONE raw log file, parse it with byte-range
+    chunking (64 KiB chunks -> many parallel tasks, boundary snap + partial
+    discard at every cut: sources/rawlog.py), and digest per class.  The
+    oracle derives the same digest straight from the events table, so every
+    lost/duplicated event at any chunk cut flips the hash."""
+    import os
+    import tempfile
+
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+    from mysql_log_parser_spark.operators.parse import promote_metrics
+    from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
+    from mysql_log_parser_spark.entry_queries import docs_from_events
+
+    d = tempfile.mkdtemp(prefix="mlp_rawlog_")
+    path = os.path.join(d, "all.log")
+    ordered = (
+        docs_from_events(spark, sf_dir)
+        .withColumn("dnum", F.regexp_extract("doc_id", r"d(\d+)", 1).cast("long"))
+        .orderBy("dnum")
+        .select("text")
+    )
+    with open(path, "w") as f:
+        for r in ordered.toLocalIterator():
+            f.write(r["text"])
+    ev = promote_metrics(
+        with_fingerprint(
+            read_raw_slowlog(spark, path, chunk_bytes=64 << 10, overlap=32 << 10)
+        )
+    )
+    return ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+    )
+
+
+O_RAWLOG_CHUNKED = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum
+FROM e GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_rawlog_chunked"] = (q_rawlog_chunked, O_RAWLOG_CHUNKED)

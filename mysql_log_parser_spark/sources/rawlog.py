@@ -1,0 +1,144 @@
+"""Distributed scan of ONE raw slow-log file by byte ranges.
+
+The reference consumes a log as a single sequential reader (ref:log/parser/
+slow.go:43-71, one goroutine, one file).  At 100 GB a single reader is the
+bottleneck, so this source splits the FILE into byte ranges and parses them
+in parallel with the classic split-log contract:
+
+- a chunk owns every event whose BOUNDARY LINE starts inside
+  [chunk.start, chunk.end);
+- each task reads its range plus `overlap` bytes, snaps forward to the
+  first boundary line at/after its start (chunk 0 starts at byte 0
+  unconditionally, so pre-boundary prologue lines are kept), and parses
+  through the first boundary at/after its end — so events spanning the cut
+  are parsed exactly once, by the chunk that owns their boundary line;
+- the partial line/event before the snap point is DISCARDED — the same
+  partial-event-discard semantics the reference applies at StartOffset
+  resume (ref:log/parser/slow.go:46-49), applied at every cut.
+
+Every complete event is emitted exactly once as long as no single event
+exceeds `overlap` bytes (enforced loudly, never silently dropped).
+
+Scale shape: the driver touches only file METADATA (one stat); each task
+seeks directly into the file (posix read or object-store range GET), so
+parallelism = ceil(size / chunk_bytes) with zero shuffle before the parse.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_log_parser_spark.operators.parse import parse_slowlog
+
+DEFAULT_BOUNDARY = b"# Time:"
+
+
+def _boundary_offsets(buf: bytes, boundary: bytes, include_zero: bool) -> list[int]:
+    """Offsets of lines starting with `boundary` within buf (line starts
+    only: position 0 when requested, else the byte after a newline)."""
+    offs = []
+    if include_zero and buf.startswith(boundary):
+        offs.append(0)
+    needle = b"\n" + boundary
+    i = 0
+    while True:
+        j = buf.find(needle, i)
+        if j < 0:
+            return offs
+        offs.append(j + 1)
+        i = j + 1
+
+
+def chunk_specs(path: str, chunk_bytes: int) -> list[tuple[str, int, int, int]]:
+    size = os.path.getsize(path)
+    n = max(1, -(-size // chunk_bytes))
+    return [
+        (path, i, i * chunk_bytes, min((i + 1) * chunk_bytes, size))
+        for i in range(n)
+    ]
+
+
+def read_raw_slowlog(
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 64 << 20,
+    overlap: int = 1 << 20,
+    boundary: bytes = DEFAULT_BOUNDARY,
+    source: str = "",
+    admin_filter=None,
+) -> DataFrame:
+    """Parallel parse of one raw log file -> EVENT_SCHEMA events plus a
+    `base` -> doc_id encoding for absolute offsets (see with_file_offset).
+
+    One narrow pass: chunk-spec rows -> per-task range read + boundary snap
+    (mapInPandas) -> the standard vectorized parse kernel.  No shuffle.
+    """
+    specs = chunk_specs(path, chunk_bytes)
+    size = os.path.getsize(path)
+    sdf = spark.createDataFrame(
+        specs, "path string, chunk_id long, start long, end long"
+    ).repartition(len(specs))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                # read one prefix byte so a boundary line starting EXACTLY at
+                # r.start is still seen as newline-preceded by this chunk
+                prefix = 0 if r.start == 0 else 1
+                with open(r.path, "rb") as f:
+                    f.seek(r.start - prefix)
+                    buf = f.read((r.end - r.start) + overlap + prefix)
+                chunk_len = r.end - r.start
+                at_eof = (r.start - prefix) + len(buf) >= size
+                offs = _boundary_offsets(buf, boundary, include_zero=r.start == 0)
+                # positions relative to r.start
+                offs = [o - prefix for o in offs if o >= prefix]
+                owned = [o for o in offs if o < chunk_len]
+                if not owned:
+                    continue
+                first = owned[0]
+                beyond = [o for o in offs if o >= chunk_len]
+                if beyond:
+                    stop = beyond[0]
+                elif at_eof:
+                    stop = len(buf) - prefix
+                else:
+                    raise ValueError(
+                        f"event spanning byte {r.end} of {r.path} exceeds "
+                        f"overlap={overlap}; raise overlap"
+                    )
+                base = r.start + first
+                rows.append(
+                    {
+                        "doc_id": f"{r.chunk_id}@{base}",
+                        "text": buf[first + prefix : stop + prefix].decode(
+                            "utf-8", errors="replace"
+                        ),
+                        "source": source,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "source"]
+            )
+
+    docs = sdf.mapInPandas(gen, "doc_id string, text string, source string")
+    return parse_slowlog(docs, admin_filter=admin_filter)
+
+
+def with_file_offset(events: DataFrame) -> DataFrame:
+    """Absolute byte offset in the ORIGINAL file for chunk-parsed events:
+    doc_id carries the slice base ('<chunk>@<base>'); the parser's intra-doc
+    offset has the reference's +1 quirk for non-zero offsets, undone here so
+    file_offset is the honest line-start byte."""
+    base = F.regexp_extract("doc_id", r"@(\d+)$", 1).cast("long")
+    return events.withColumn(
+        "file_offset",
+        base + F.col("offset") - (F.col("offset") != 0).cast("long"),
+    )
