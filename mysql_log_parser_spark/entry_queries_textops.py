@@ -884,3 +884,107 @@ SELECT v AS doc_id, label AS component, v = label AS keep FROM l{_CC_ITERS}
 O_DEDUP_COMPONENTS = _o_dedup_components()
 
 TEXTOPS_QUERIES["dedup_components"] = (q_dedup_components, O_DEDUP_COMPONENTS)
+
+
+# -- 15. domain-mixing upsampler + token-budget head ---------------------------
+
+_MIX_W = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 3.0}
+_BUDGET = 20000
+
+
+def q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional mixture weights per source: floor(w) copies plus one more
+    when the id-hash falls under frac(w) — per-(doc, copy) rows, aggregated
+    per source for a compact hash surface."""
+    from mysql_log_parser_spark.textops.sampling import upsample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    up = upsample(d, _MIX_W, stratum_col="source")
+    return up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.countDistinct("doc_id").alias("distinct_docs"),
+        F.max("copy_idx").cast("long").alias("max_copies"),
+    )
+
+
+def _o_mix_upsample() -> str:
+    w_case = "CASE " + " ".join(
+        f"WHEN source = '{k}' THEN {v}" for k, v in sorted(_MIX_W.items())
+    ) + " ELSE 1.0 END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {w_case} AS w, {_o_unit_hash('doc_id', 'mix')} AS u
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS n
+  FROM d
+), expanded AS (
+  SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_idx
+  FROM n WHERE n > 0
+)
+SELECT source,
+       count(*) AS rows_out,
+       count(DISTINCT doc_id) AS distinct_docs,
+       CAST(max(copy_idx) AS BIGINT) AS max_copies
+FROM expanded GROUP BY source
+"""
+
+
+O_MIX_UPSAMPLE = _o_mix_upsample()
+
+TEXTOPS_QUERIES["mix_upsample"] = (q_mix_upsample, O_MIX_UPSAMPLE)
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-quality docs per source until the per-source token budget
+    fills.  Quality = the permille quality score (integer, exact in both
+    engines); token length = char length of text."""
+    from mysql_log_parser_spark.textops.quality import quality_score
+    from mysql_log_parser_spark.textops.sampling import take_token_budget
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_tok"),
+        F.floor(quality_score(F.col("text")) * 1000).cast("long").alias("q_permille"),
+    )
+    kept = take_token_budget(
+        d, _BUDGET, part_col="source", priority_col="q_permille", len_col="n_tok"
+    )
+    return kept.select("source", "doc_id", "n_tok", "q_permille", "cum_tok")
+
+
+def _o_token_budget() -> str:
+    # quality_score mirror: 0.4*min(n_words/100,1) + 0.3*noise + 0.3*stopword
+    sw = _ALL_SW
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS words,
+         text
+  FROM documents
+), q AS (
+  SELECT doc_id, source, n_tok,
+         CAST(floor(1000 * (
+           0.4 * least(len(words) / 100.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - 2.0 * (
+               (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+             + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)))
+           + 0.3 * least(1.0, 4.0 * (len(list_filter(words, x -> list_contains({sw}, x))) / len(words)))
+         )) AS BIGINT) AS q_permille
+  FROM f
+), c AS (
+  SELECT source, doc_id, n_tok, q_permille,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY q_permille DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM q
+)
+SELECT source, doc_id, n_tok, q_permille, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {_BUDGET}
+"""
+
+
+O_TOKEN_BUDGET = _o_token_budget()
+
+TEXTOPS_QUERIES["token_budget"] = (q_token_budget, O_TOKEN_BUDGET)

@@ -154,3 +154,61 @@ def pack_sequences(
         .groupBy(part_col)
         .applyInPandas(pack, out_schema)
     )
+
+
+def upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixing upsampler: repeat each row floor(w) times plus one more
+    with probability frac(w) — so a stratum with weight 2.3 contributes each
+    doc 2 or 3 times, deterministically per id (Wikipedia-x3-style mixture
+    weights at 10^12 rows need partition-stable repeats, not df.sample).
+
+    Weight 0.x downsamples (0 or 1 copies); output carries `copy_idx`
+    (1..n) so downstream shuffles can decorrelate the copies.  Pure narrow
+    ops: a when-chain for the weight, one hash, one explode."""
+    u = unit_hash(F.col(id_col), salt)
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
+    n = (F.floor(w) + (u < (w - F.floor(w))).cast("long")).cast("int")
+    return (
+        docs.withColumn("_n", n)
+        .where(F.col("_n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def take_token_budget(
+    docs: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    priority_col: str = "quality",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Keep the highest-priority docs per partition key until the token
+    budget fills: running-sum window ordered by (priority desc, id), keep
+    while cumulative tokens (INCLUDING this doc) fit.
+
+    Same scale shape as sequence_pack: the window is partitioned by
+    `part_col`, so parallelism = key cardinality and no global sort exists.
+    A corpus-wide budget at scale = per-shard budgets that sum to it."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.desc(priority_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(len_col).cast("long")).over(w)
+    return (
+        docs.withColumn("cum_tok", cum)
+        .where(F.col("cum_tok") <= budget)
+    )

@@ -271,3 +271,36 @@ def test_components_from_pairs(spark):
     assert [r[i]["keep"] for i in range(8)] == [
         True, False, False, True, True, True, False, True,
     ]
+
+
+def test_upsample_weights(spark):
+    from mysql_log_parser_spark.textops.sampling import upsample
+
+    d = spark.createDataFrame(
+        [(i, "a" if i < 200 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    up = upsample(d, {"a": 3.0, "b": 0.0})
+    # integer weight 3.0: exactly 3 copies of every 'a' doc, 'b' vanishes
+    assert up.count() == 600
+    assert up.where("source = 'b'").count() == 0
+    assert up.groupBy("doc_id").count().where("count != 3").count() == 0
+
+    frac = upsample(d.where("source = 'a'"), {"a": 1.5})
+    n = frac.count()
+    # 1.5: every doc 1-2 copies, expectation 300; deterministic per id
+    assert 200 <= n <= 400
+    assert n == upsample(d.where("source = 'a'"), {"a": 1.5}).count()
+
+
+def test_take_token_budget(spark):
+    from mysql_log_parser_spark.textops.sampling import take_token_budget
+
+    d = spark.createDataFrame(
+        [(i, "s", 100, 1000 - i) for i in range(10)],
+        "doc_id long, source string, n_tok long, quality long",
+    )
+    kept = take_token_budget(d, 350, priority_col="quality").collect()
+    # highest-quality first (doc 0,1,2), stop when the next doc would burst
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2]
+    assert max(r["cum_tok"] for r in kept) == 300
