@@ -47,6 +47,11 @@ def route_loop(
     fmt: str = "parquet",
     mode: str = "overwrite",
 ) -> dict[str, str]:
+    """Per-sink filtered writes over a cached events frame.
+
+    At scale ALWAYS pass `sources` explicitly (the sink topology is config,
+    not data): the None fallback schedules a distinct() job over the events
+    to discover them, acceptable only for small ad-hoc sink sets."""
     if sources is None:
         sources = [r.source for r in events.select("source").distinct().collect()]
     events = events.persist()
