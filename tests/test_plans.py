@@ -73,3 +73,63 @@ def test_class_agg_is_partial_final(spark, tokens_dir):
     # partial (map-side) aggregation must appear before the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 3}", f"some words repeated words here doc {i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_repetition_is_narrow_single_fold(spark):
+    """Gopher repetition signals: zero shuffles, and each max-run fold is
+    evaluated exactly once per row (CollapseProject must not duplicate the
+    non-cheap aggregate() expressions referenced by the permille columns)."""
+    from mysql_log_parser_spark.textops.quality import with_repetition
+
+    plan = _plan(with_repetition(_docs_df(spark)).drop("text"))
+    assert "Exchange" not in plan, "per-doc features must not shuffle"
+    assert "EvalPython" not in plan
+    # one fold for word max-run + one for bigram max-run, nothing duplicated
+    assert plan.count("aggregate(") == 2, plan.count("aggregate(")
+
+
+def test_decontaminate_broadcasts_probes(spark):
+    from mysql_log_parser_spark.textops.decontam import (
+        contamination_hits,
+        probe_ngrams,
+    )
+
+    d = _docs_df(spark)
+    hits = contamination_hits(d, probe_ngrams(d.where(F.col("doc_id") % 9 == 0)))
+    plan = _plan(hits)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ann_rerank_prenorm_single_fold_per_pair(spark):
+    """Brute-force top-k: norms computed once per side BEFORE the join
+    (in the per-side Projects), so the post-join cosine is a single dot
+    fold — not three folds per candidate pair."""
+    from mysql_log_parser_spark.textops.similarity import cosine_topk_bruteforce
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    df = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 2), k=3)
+    plan = _plan(df)
+    # norm folds (sqrt of self-dot): exactly one per join input, none after
+    join_pos = plan.index("BroadcastNestedLoopJoin") if "BroadcastNestedLoopJoin" in plan else plan.index("Join")
+    post_join = plan[:join_pos]  # executedPlan prints top-down: above = post-join
+    assert post_join.count("SQRT") == 0, "norms recomputed per candidate pair"
+    assert plan.count("SQRT(aggregate(") == 2, "expected one norm fold per side"
+
+
+def test_upsample_is_narrow(spark):
+    from mysql_log_parser_spark.textops.sampling import upsample
+
+    plan = _plan(upsample(_docs_df(spark), {"src0": 2.5}))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
