@@ -34,8 +34,6 @@ from mysql_log_parser_spark.textops.quality import (
     token_counts,
     words_of,
 )
-from mysql_log_parser_spark.textops.similarity import cosine
-
 HEXD = "0123456789abcdef"
 
 

@@ -104,3 +104,42 @@ def test_parser_structural_invariants(spark, docs_lines):
         assert [r.event_idx for r in rows] == list(range(len(rows)))
         offs = [r.offset for r in rows]
         assert offs == sorted(offs)
+
+
+@given(
+    minutes=st.lists(st.integers(min_value=0, max_value=59), min_size=3, max_size=25),
+    chunk_bytes=st.integers(min_value=50, max_value=2000),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_rawlog_split_invariant(spark, tmp_path_factory, minutes, chunk_bytes):
+    """For ANY event sequence and ANY chunk size, the byte-range parallel
+    scan equals the single-reader parse (split-log contract)."""
+    from pyspark.sql import functions as F
+
+    from mysql_log_parser_spark.operators.parse import parse_slowlog
+    from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog, with_file_offset
+
+    parts = []
+    for i, mm in enumerate(minutes):
+        parts.append(
+            f"# Time: 240101 10:{mm:02d}:00\n"
+            f"# User@Host: u{i}[u{i}] @ h []\n"
+            f"# Query_time: {i}.250000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+            f"SELECT c FROM t{i} WHERE id={i};\n"
+        )
+    text = "".join(parts)
+    p = tmp_path_factory.mktemp("rawlog") / "log"
+    p.write_bytes(text.encode())
+
+    whole = parse_slowlog(
+        spark.createDataFrame(
+            [("w", text, "")], "doc_id string, text string, source string"
+        )
+    ).withColumn("file_offset", F.col("offset") - (F.col("offset") != 0).cast("long"))
+    chunked = with_file_offset(
+        read_raw_slowlog(spark, str(p), chunk_bytes=chunk_bytes, overlap=8192)
+    )
+    key = lambda df: sorted(
+        (r[0], r[1], r[2]) for r in df.select("file_offset", "query", "ts").collect()
+    )
+    assert key(chunked) == key(whole)
