@@ -22,6 +22,13 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--raw-log",
+        action="store_true",
+        help="treat --input as ONE raw slow-log FILE (the reference CLI's "
+        "--log mode): parsed in parallel by byte ranges (sources/rawlog.py)",
+    )
+    ap.add_argument("--chunk-mb", type=int, default=64, help="raw-log chunk size")
     ap.add_argument("--mode", default="sketch", choices=["sketch", "exact"])
     ap.add_argument("--filter-admin", default="")
     ap.add_argument("--routed", action="store_true")
@@ -42,7 +49,25 @@ def main(argv: list[str] | None = None) -> None:
     pipe = SlowLogPipeline(spark, admin_filter=admin_filter, mode=args.mode)
 
     t0 = time.perf_counter()
-    if args.incremental:
+    if args.raw_log:
+        from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+        from mysql_log_parser_spark.operators.parse import promote_metrics
+        from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
+
+        ev = promote_metrics(
+            with_fingerprint(
+                read_raw_slowlog(
+                    spark,
+                    args.input,
+                    chunk_bytes=args.chunk_mb << 20,
+                    admin_filter=admin_filter,
+                )
+            )
+        )
+        if args.routed:
+            pipe.route(ev, f"{args.output}/routed")
+            ev = spark.read.parquet(f"{args.output}/routed")
+    elif args.incremental:
         runner = CheckpointedRunner(spark, args.output)
         runner.run_incremental(args.input, pipe.events)
         ev = runner.events()

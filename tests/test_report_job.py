@@ -82,3 +82,30 @@ def test_spark_submit_py_files(tmp_path):
 
     gd = duckdb.sql(f"SELECT total_queries FROM read_parquet('{out}/global_digest/*.parquet')").fetchone()
     assert gd[0] == 40
+
+
+def test_digest_job_raw_log_mode(spark, tmp_path):
+    """--raw-log: point the CLI job at ONE raw slow-log file (the reference
+    CLI's own input mode) and get the same digests."""
+    log = tmp_path / "slow.log"
+    parts = []
+    for i in range(30):
+        parts.append(
+            f"# Time: 240101 10:{i % 60:02d}:00\n"
+            f"# User@Host: u[u] @ h []\n"
+            f"# Query_time: {i}.500000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+            f"SELECT c FROM t{i % 3} WHERE id={i};\n"
+        )
+    log.write_text("".join(parts))
+    out = str(tmp_path / "out")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import digest_job
+
+    digest_job.main(
+        ["--input", str(log), "--output", out, "--mode", "exact",
+         "--raw-log", "--chunk-mb", "1"]
+    )
+    gd = spark.read.parquet(f"{out}/global_digest").first()
+    assert gd.total_queries == 30
+    assert gd.unique_queries == 3
