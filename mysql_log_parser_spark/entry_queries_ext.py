@@ -1214,3 +1214,118 @@ FROM e GROUP BY fingerprint
 """
 
 EXT_QUERIES["slow_rawlog_chunked"] = (q_rawlog_chunked, O_RAWLOG_CHUNKED)
+
+
+# -- semantic dedup (SemDeDup-style): cluster -> within-cell near-dup -> keep --
+
+_SD_THRESH = 0.95
+_SD_DUP_MOD = 13
+_SD_ITERS = 2
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shape: coarse k-means cells bound the
+    candidate set, exact cosine within a cell finds semantic duplicates,
+    bounded min-label propagation picks one canonical survivor per group.
+    Composition of the engine's own pieces: IVF cell assignment (narrow),
+    per-cell self-join (shuffles cell keys only, never all pairs), prenormed
+    single-fold rerank, and components_from_pairs.  Exact dups are injected
+    (vec_id+10000, identical vector -> cosine 1.0) so there is signal."""
+    from mysql_log_parser_spark.textops.dedup import components_from_pairs
+    from mysql_log_parser_spark.textops.similarity import cosine_prenorm, norm
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dupes = e.where(F.col("vec_id") % _SD_DUP_MOD == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    corpus = e.unionByName(dupes)
+    cents = _centroid_literals()
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = corpus.select(
+        "vec_id", "v",
+        (-choice.getField("nc")).cast("long").alias("cell"),
+        norm(F.col("v")).alias("nrm"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_prenorm(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ),
+        )
+        .where(F.col("cos6") >= _SD_THRESH)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    return components_from_pairs(
+        pairs, corpus, id_col="vec_id", iters=_SD_ITERS
+    )
+
+
+def _o_semantic_dedup() -> str:
+    cents = _centroid_literals()
+    dots = ", ".join(f"list_dot_product(v, {cents[c]}) AS d{c}" for c in range(_IVF_C))
+    cell_case = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+    prop = []
+    for t in range(_SD_ITERS):
+        prop.append(
+            f"""l{t + 1} AS (
+  SELECT l.v, least(l.label, COALESCE(m.nm, l.label)) AS label
+  FROM l{t} l LEFT JOIN (
+    SELECT s.src, min(d.label) AS nm
+    FROM sym s JOIN l{t} d ON d.v = s.dst
+    GROUP BY s.src
+  ) m ON m.src = l.v
+)"""
+        )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {_SD_DUP_MOD} = 0
+), d AS (
+  SELECT vec_id, v, {dots} FROM c
+), cells AS (
+  SELECT vec_id, v, CAST({cell_case} AS BIGINT) AS cell FROM d
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {_SD_THRESH}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), l0 AS (
+  SELECT vec_id AS v, vec_id AS label FROM c
+), {', '.join(prop)}
+SELECT v AS vec_id, label AS component, v = label AS keep FROM l{_SD_ITERS}
+"""
+
+
+O_SEMANTIC_DEDUP = _o_semantic_dedup()
+
+EXT_QUERIES["semantic_dedup"] = (q_semantic_dedup, O_SEMANTIC_DEDUP)

@@ -986,3 +986,42 @@ FROM c WHERE cum_tok <= {_BUDGET}
 O_TOKEN_BUDGET = _o_token_budget()
 
 TEXTOPS_QUERIES["token_budget"] = (q_token_budget, O_TOKEN_BUDGET)
+
+
+# -- 16. corpus vocabulary stats -----------------------------------------------
+
+_VOCAB_TOP = 50
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-frequency table, top-K by (count desc, word):
+    explode -> partial-aggregated groupBy; the ranking window runs over
+    VOCAB-cardinality rows (already reduced), which is the only safe place
+    for a global window — never over the corpus itself."""
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    d = _docs(spark, sf_dir).select(F.explode(words_of(F.col("text"))).alias("word"))
+    counts = d.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _VOCAB_TOP)
+    )
+
+
+O_VOCAB_STATS = f"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+), c AS (
+  SELECT word, count(*) AS n FROM w GROUP BY word
+)
+SELECT word, n, rank FROM (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c
+) WHERE rank <= {_VOCAB_TOP}
+"""
+
+TEXTOPS_QUERIES["vocab_stats"] = (q_vocab_stats, O_VOCAB_STATS)
