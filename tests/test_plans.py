@@ -133,3 +133,15 @@ def test_upsample_is_narrow(spark):
     plan = _plan(upsample(_docs_df(spark), {"src0": 2.5}))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_session_scale_configs_pinned(spark):
+    """The session tuning CLAUDE.md calls load-bearing must stay on: AQE
+    (runtime coalescing + skew-join splitting — the north-rule's skew
+    mitigation besides explicit salting), Arrow batching, UTC."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
