@@ -1025,3 +1025,87 @@ SELECT word, n, rank FROM (
 """
 
 TEXTOPS_QUERIES["vocab_stats"] = (q_vocab_stats, O_VOCAB_STATS)
+
+
+# -- 17. end-to-end curation pipeline ------------------------------------------
+
+_CUR_Q_MIN = 600
+_CUR_BUDGET = 15000
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain as ONE dataflow:
+    exact dedup (keep min-id per content hash) -> quality floor ->
+    per-source token budget.  Each stage is the engine's own operator
+    shape — hash-partitioned window for dedup, narrow quality scoring,
+    per-shard cumsum head — and the oracle recomputes the whole chain
+    independently, so a bug in ANY stage flips the hash."""
+    from mysql_log_parser_spark.textops.quality import quality_score
+    from mysql_log_parser_spark.textops.sampling import take_token_budget
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    dupes = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    corpus = d.unionByName(dupes)
+
+    keep_w = Window.partitionBy(F.md5("text"))
+    deduped = corpus.withColumn("_min_id", F.min("doc_id").over(keep_w)).where(
+        F.col("doc_id") == F.col("_min_id")
+    )
+    scored = deduped.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_tok"),
+        F.floor(quality_score(F.col("text")) * 1000).cast("long").alias("q_permille"),
+    ).where(F.col("q_permille") >= _CUR_Q_MIN)
+    kept = take_token_budget(
+        scored, _CUR_BUDGET, part_col="source", priority_col="q_permille", len_col="n_tok"
+    )
+    return kept.select("source", "doc_id", "n_tok", "q_permille", "cum_tok")
+
+
+def _o_curation() -> str:
+    sw = _ALL_SW
+    return f"""
+WITH c AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 7 = 0
+), dd AS (
+  SELECT * FROM (
+    SELECT doc_id, source, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+    FROM c
+  ) WHERE doc_id = min_id
+), f AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS words,
+         text
+  FROM dd
+), q AS (
+  SELECT doc_id, source, n_tok,
+         CAST(floor(1000 * (
+           0.4 * least(len(words) / 100.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - 2.0 * (
+               (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+             + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)))
+           + 0.3 * least(1.0, 4.0 * (len(list_filter(words, x -> list_contains({sw}, x))) / len(words)))
+         )) AS BIGINT) AS q_permille
+  FROM f
+), flt AS (
+  SELECT * FROM q WHERE q_permille >= {_CUR_Q_MIN}
+), cm AS (
+  SELECT source, doc_id, n_tok, q_permille,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY q_permille DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM flt
+)
+SELECT source, doc_id, n_tok, q_permille, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM cm WHERE cum_tok <= {_CUR_BUDGET}
+"""
+
+
+O_CURATION = _o_curation()
+
+TEXTOPS_QUERIES["curation_pipeline"] = (q_curation_pipeline, O_CURATION)
