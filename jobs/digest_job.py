@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--incremental", action="store_true")
     args = ap.parse_args(argv)
+    if args.raw_log and args.incremental:
+        ap.error(
+            "--raw-log and --incremental are mutually exclusive: chunk-"
+            "manifest resume operates on a directory of chunk files; for a "
+            "single raw file re-run --raw-log (byte ranges are recomputed)"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -54,6 +60,8 @@ def main(argv: list[str] | None = None) -> None:
         from mysql_log_parser_spark.operators.parse import promote_metrics
         from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
 
+        import os
+
         ev = promote_metrics(
             with_fingerprint(
                 read_raw_slowlog(
@@ -61,6 +69,9 @@ def main(argv: list[str] | None = None) -> None:
                     args.input,
                     chunk_bytes=args.chunk_mb << 20,
                     admin_filter=admin_filter,
+                    # tag events with the file they came from so the routed
+                    # layout and per-source reports stay meaningful
+                    source=os.path.basename(args.input),
                 )
             )
         )

@@ -183,6 +183,17 @@ FROM e GROUP BY 1
 
 # -- A9: example selection (class.go:100-116) ---------------------------------
 
+def _example_ts_col(ts: F.Column) -> F.Column:
+    """class.go:106-110 parity, in ONE place: reformat the winner's Ts to
+    ISO, blank (never null) when it does not parse."""
+    return F.coalesce(
+        F.date_format(
+            F.try_to_timestamp(ts, F.lit("yyMMdd H:mm:ss")), "yyyy-MM-dd HH:mm:ss"
+        ),
+        F.lit(""),
+    )
+
+
 def q_example_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class example = argmax query text by Query_time (tie-broken by
     event id for determinism under parallel aggregation) — max_by over a
@@ -204,15 +215,8 @@ def q_example_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         winner.getField("q").alias("example_query"),
         winner.getField("i").alias("example_id"),
         winner.getField("t").alias("example_qt"),
-        # Go reformats the winner's Ts or blanks it on parse failure
-        # (class.go:106-110) — parse-or-blank pinned end-to-end
-        F.coalesce(
-            F.date_format(
-                F.try_to_timestamp(winner.getField("ts"), F.lit("yyMMdd H:mm:ss")),
-                "yyyy-MM-dd HH:mm:ss",
-            ),
-            F.lit(""),
-        ).alias("example_ts"),
+        # parse-or-blank pinned end-to-end via the shared helper
+        _example_ts_col(winner.getField("ts")).alias("example_ts"),
     )
 
 
@@ -255,13 +259,7 @@ def q_example_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_queries"),
         winner.getField("i").alias("example_id"),
         winner.getField("t").alias("example_qt"),
-        F.coalesce(
-            F.date_format(
-                F.try_to_timestamp(winner.getField("ts"), F.lit("yyMMdd H:mm:ss")),
-                "yyyy-MM-dd HH:mm:ss",
-            ),
-            F.lit(""),
-        ).alias("example_ts"),
+        _example_ts_col(winner.getField("ts")).alias("example_ts"),
     )
 
 
@@ -1287,18 +1285,8 @@ def _o_semantic_dedup() -> str:
         "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
         "WHEN d2 >= d3 THEN 2 ELSE 3 END"
     )
-    prop = []
-    for t in range(_SD_ITERS):
-        prop.append(
-            f"""l{t + 1} AS (
-  SELECT l.v, least(l.label, COALESCE(m.nm, l.label)) AS label
-  FROM l{t} l LEFT JOIN (
-    SELECT s.src, min(d.label) AS nm
-    FROM sym s JOIN l{t} d ON d.v = s.dst
-    GROUP BY s.src
-  ) m ON m.src = l.v
-)"""
-        )
+    from mysql_log_parser_spark.entry_queries_textops import _o_label_prop
+
     return f"""
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1315,13 +1303,7 @@ WITH c AS (
   WHERE round(list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
         >= {_SD_THRESH}
-), sym AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-), l0 AS (
-  SELECT vec_id AS v, vec_id AS label FROM c
-), {', '.join(prop)}
+), {_o_label_prop(_SD_ITERS, "vec_id")}
 SELECT v AS vec_id, label AS component, v = label AS keep FROM l{_SD_ITERS}
 """
 

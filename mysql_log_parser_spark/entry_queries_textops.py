@@ -852,9 +852,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components_from_pairs(pairs, corpus, iters=_CC_ITERS)
 
 
-def _o_dedup_components() -> str:
+def _o_label_prop(iters: int, id_expr: str) -> str:
+    """Shared SQL for bounded min-label propagation — the oracle mirror of
+    textops/dedup.components_from_pairs, used by EVERY components-based
+    oracle so the propagation rule lives in exactly one place.  Expects
+    `pairs(id_a, id_b)` and a corpus CTE `c` carrying `id_expr`; emits the
+    `sym` + `l0..l{iters}` CTE chain (caller appends the final SELECT over
+    `l{iters}`)."""
     prop = []
-    for t in range(_CC_ITERS):
+    for t in range(iters):
         prop.append(
             f"""l{t + 1} AS (
   SELECT l.v, least(l.label, COALESCE(m.nm, l.label)) AS label
@@ -865,17 +871,21 @@ def _o_dedup_components() -> str:
   ) m ON m.src = l.v
 )"""
         )
-    return (
-        _o_minhash_pairs()
-        + f""", sym AS (
+    return f"""sym AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ), l0 AS (
-  SELECT doc_id AS v, doc_id AS label FROM c
-), {', '.join(prop)}
-SELECT v AS doc_id, label AS component, v = label AS keep FROM l{_CC_ITERS}
-"""
+  SELECT {id_expr} AS v, {id_expr} AS label FROM c
+), {', '.join(prop)}"""
+
+
+def _o_dedup_components() -> str:
+    return (
+        _o_minhash_pairs()
+        + ", "
+        + _o_label_prop(_CC_ITERS, "doc_id")
+        + f"\nSELECT v AS doc_id, label AS component, v = label AS keep FROM l{_CC_ITERS}\n"
     )
 
 

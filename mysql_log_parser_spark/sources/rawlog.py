@@ -100,10 +100,17 @@ def read_raw_slowlog(
                 offs = _boundary_offsets(buf, boundary, include_zero=r.start == 0)
                 # positions relative to r.start
                 offs = [o - prefix for o in offs if o >= prefix]
-                owned = [o for o in offs if o < chunk_len]
-                if not owned:
-                    continue
-                first = owned[0]
+                if r.start == 0:
+                    # chunk 0 starts at byte 0 UNCONDITIONALLY: prologue
+                    # lines / events before the first boundary line belong
+                    # to it (a rotated log's first event routinely lacks a
+                    # '# Time:' of its own)
+                    first = 0
+                else:
+                    owned = [o for o in offs if o < chunk_len]
+                    if not owned:
+                        continue
+                    first = owned[0]
                 beyond = [o for o in offs if o >= chunk_len]
                 if beyond:
                     stop = beyond[0]

@@ -74,3 +74,43 @@ def test_admin_filter_applies(spark, tmp_path):
     ev = read_raw_slowlog(spark, path, chunk_bytes=400, overlap=4096,
                           admin_filter={"Ping"})
     assert ev.where(F.col("admin")).count() == 0
+
+
+def test_prologue_events_without_boundary_kept(spark, tmp_path):
+    """Chunk 0 must start at byte 0 even when the file does NOT start with
+    a boundary line: a rotated log's first event (no '# Time:' of its own)
+    is parsed, not silently dropped."""
+    text = (
+        "# User@Host: u0[u0] @ h0 []\n"
+        "# Query_time: 1.000000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+        "SELECT first_event FROM t WHERE id=0;\n"
+        "# Time: 240101 10:01:00\n"
+        "# User@Host: u1[u1] @ h1 []\n"
+        "# Query_time: 2.000000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+        "SELECT second_event FROM t WHERE id=1;\n"
+    )
+    p = tmp_path / "rotated.log"
+    p.write_bytes(text.encode())
+    whole = parse_slowlog(
+        spark.createDataFrame([("w", text, "")], "doc_id string, text string, source string")
+    )
+    for chunk_bytes in (40, 1 << 20):
+        ev = read_raw_slowlog(spark, str(p), chunk_bytes=chunk_bytes, overlap=4096)
+        got = sorted(r["query"] for r in ev.select("query").collect())
+        want = sorted(r["query"] for r in whole.select("query").collect())
+        assert got == want and len(got) == 2, (chunk_bytes, got)
+
+
+def test_cli_raw_log_incremental_conflict(tmp_path):
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import digest_job
+
+    with _pytest.raises(SystemExit):
+        digest_job.main(
+            ["--input", "x", "--output", "y", "--raw-log", "--incremental"]
+        )

@@ -3,6 +3,8 @@
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 from mysql_log_parser_spark import synth
 from mysql_log_parser_spark.pipeline import SlowLogPipeline
 from mysql_log_parser_spark.report import digest_report
@@ -104,8 +106,11 @@ def test_digest_job_raw_log_mode(spark, tmp_path):
 
     digest_job.main(
         ["--input", str(log), "--output", out, "--mode", "exact",
-         "--raw-log", "--chunk-mb", "1"]
+         "--raw-log", "--chunk-mb", "1", "--routed"]
     )
     gd = spark.read.parquet(f"{out}/global_digest").first()
     assert gd.total_queries == 30
     assert gd.unique_queries == 3
+    # routed layout carries the file name as the source tag, not NULL
+    routed = spark.read.parquet(f"{out}/routed")
+    assert routed.where(F.col("source") == "slow.log").count() == 30
