@@ -1311,3 +1311,95 @@ SELECT v AS vec_id, label AS component, v = label AS keep FROM l{_SD_ITERS}
 O_SEMANTIC_DEDUP = _o_semantic_dedup()
 
 EXT_QUERIES["semantic_dedup"] = (q_semantic_dedup, O_SEMANTIC_DEDUP)
+
+
+# -- telemetry: per-class traffic spike detection (z-score over minutes) ------
+
+def q_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(class, minute) event counts scored against the class's own
+    minute distribution.  Mean/variance are derived from EXACT integer sums
+    (n, sum(c), sum(c^2)) so the float z-score is one well-defined
+    expression over integers — immune to float summation-order drift
+    between partitions or engines; stddev_pop-style accumulation is NOT
+    used for exactly that reason."""
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+
+    ev = with_fingerprint(ext_parsed_events(spark, sf_dir)).where(~F.col("admin"))
+    mm = F.minute(F.to_timestamp("ts", "yyMMdd H:mm:ss")).cast("long")
+    per_min = ev.groupBy("class_id", mm.alias("mm")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_min.groupBy("class_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    j = per_min.join(F.broadcast(stats), "class_id")
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    mean = s.cast("double") / n
+    var = (n * sq - s * s).cast("double") / (n * n).cast("double")
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return j.select(
+        "class_id",
+        "mm",
+        F.col("c").alias("events"),
+        F.round(z, 6).alias("z6"),
+        (F.round(z, 6) > 2.0).alias("spike"),
+    )
+
+
+O_SPIKE_DETECT = """
+WITH e AS (
+  SELECT upper(substr(md5('select c from t_' || event_type || ' where id=?'), 17, 16)) AS class_id,
+         CAST(event_id % 60 AS BIGINT) AS mm
+  FROM events WHERE event_id % 17 != 0
+), pm AS (
+  SELECT class_id, mm, count(*) AS c FROM e GROUP BY class_id, mm
+), st AS (
+  SELECT class_id, count(*) AS n, sum(c) AS s, sum(c*c) AS sq
+  FROM pm GROUP BY class_id
+)
+SELECT pm.class_id, pm.mm, CAST(pm.c AS BIGINT) AS events,
+       round((pm.c - CAST(s AS DOUBLE)/n)
+             / sqrt(CAST(n*sq - s*s AS DOUBLE) / CAST(n*n AS DOUBLE)), 6) AS z6,
+       round((pm.c - CAST(s AS DOUBLE)/n)
+             / sqrt(CAST(n*sq - s*s AS DOUBLE) / CAST(n*n AS DOUBLE)), 6) > 2.0 AS spike
+FROM pm JOIN st USING (class_id)
+"""
+
+EXT_QUERIES["slow_spike_detect"] = (q_spike_detect, O_SPIKE_DETECT)
+
+
+# -- HLL distinct-count sketch, gated like the GK sketch ----------------------
+
+_HLL_RSD = 0.05
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per sink, gated against the
+    exact distinct count with a 3*rsd relative-error band — the same
+    exact-bounds-plus-in-bounds-boolean pattern as the GK percentile gate:
+    the exact values hash-compare, the boolean flips if the sketch drifts
+    outside its guarantee."""
+    ev = ext_parsed_events(spark, sf_dir).where(~F.col("admin"))
+    eid = F.regexp_extract("query", "id=(\\d+)", 1).cast("long")
+    agg = ev.withColumn("eid", eid).groupBy("source").agg(
+        F.countDistinct("eid").alias("exact_distinct"),
+        F.approx_count_distinct("eid", rsd=_HLL_RSD).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return agg.select(
+        "source",
+        "exact_distinct",
+        (err <= 3 * _HLL_RSD).alias("hll_in_bounds"),
+    )
+
+
+O_DISTINCT_SKETCH = _ORACLE_EXT_CTE + """
+SELECT source,
+       count(DISTINCT event_id) AS exact_distinct,
+       CAST(TRUE AS BOOLEAN) AS hll_in_bounds
+FROM e WHERE NOT is_admin GROUP BY source
+"""
+
+EXT_QUERIES["slow_distinct_sketch"] = (q_distinct_sketch, O_DISTINCT_SKETCH)
