@@ -66,21 +66,45 @@ def chunk_specs(path: str, chunk_bytes: int) -> list[tuple[str, int, int, int]]:
 
 def read_raw_slowlog(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     chunk_bytes: int = 64 << 20,
     overlap: int = 1 << 20,
     boundary: bytes = DEFAULT_BOUNDARY,
-    source: str = "",
+    source: str | None = "",
     admin_filter=None,
 ) -> DataFrame:
-    """Parallel parse of one raw log file -> EVENT_SCHEMA events plus a
+    """Parallel parse of raw log file(s) -> EVENT_SCHEMA events plus a
     `base` -> doc_id encoding for absolute offsets (see with_file_offset).
+
+    `path` may be one file, a list of files, or a DIRECTORY (every regular
+    file inside — the rotated-logs layout); chunking applies per file, so
+    parallelism spans files AND byte ranges within each.  `source=None`
+    tags each event with its file's basename (the per-sink fan-out key for
+    multi-file reads); any string tags all events verbatim.
 
     One narrow pass: chunk-spec rows -> per-task range read + boundary snap
     (mapInPandas) -> the standard vectorized parse kernel.  No shuffle.
     """
-    specs = chunk_specs(path, chunk_bytes)
-    size = os.path.getsize(path)
+    if isinstance(path, str) and os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if os.path.isfile(os.path.join(path, n)) and not n.startswith(".")
+        )
+    elif isinstance(path, str):
+        paths = [path]
+    else:
+        paths = list(path)
+    if not paths:
+        raise ValueError(f"no log files under {path!r}")
+    specs = []
+    sizes = {}
+    for p in paths:
+        sizes[p] = os.path.getsize(p)
+        specs.extend(chunk_specs(p, chunk_bytes))
+    specs = [
+        (p, i, s, e) for i, (p, _, s, e) in enumerate(specs)
+    ]  # globally unique chunk ids across files
     sdf = spark.createDataFrame(
         specs, "path string, chunk_id long, start long, end long"
     ).repartition(len(specs))
@@ -96,7 +120,7 @@ def read_raw_slowlog(
                     f.seek(r.start - prefix)
                     buf = f.read((r.end - r.start) + overlap + prefix)
                 chunk_len = r.end - r.start
-                at_eof = (r.start - prefix) + len(buf) >= size
+                at_eof = (r.start - prefix) + len(buf) >= sizes[r.path]
                 offs = _boundary_offsets(buf, boundary, include_zero=r.start == 0)
                 # positions relative to r.start
                 offs = [o - prefix for o in offs if o >= prefix]
@@ -128,7 +152,8 @@ def read_raw_slowlog(
                         "text": buf[first + prefix : stop + prefix].decode(
                             "utf-8", errors="replace"
                         ),
-                        "source": source,
+                        "source": source if source is not None
+                        else os.path.basename(r.path),
                     }
                 )
             yield pd.DataFrame(

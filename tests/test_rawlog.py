@@ -114,3 +114,18 @@ def test_cli_raw_log_incremental_conflict(tmp_path):
         digest_job.main(
             ["--input", "x", "--output", "y", "--raw-log", "--incremental"]
         )
+
+
+def test_directory_of_rotated_logs(spark, tmp_path):
+    """A directory of rotated logs parses as the union of its files, each
+    event tagged with its file's basename when source=None."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    for f in range(3):
+        _make_log(d, n_events=10)  # writes big.log; rename per file
+        (d / "big.log").rename(d / f"slow.{f}.log")
+    ev = read_raw_slowlog(spark, str(d), chunk_bytes=300, overlap=4096, source=None)
+    per = {r["source"]: r["cnt"] for r in
+           ev.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per) == {"slow.0.log", "slow.1.log", "slow.2.log"}
+    assert len(set(per.values())) == 1  # identical files -> identical counts
