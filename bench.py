@@ -171,6 +171,7 @@ def main() -> None:
         # (test-scale gate machinery); their production path, percentile_approx,
         # is already what the flagship benches
         timed.pop("slow_class_agg_sketch", None)
+        timed.pop("slow_global_sketch", None)
         timed.pop("slow_report_ladder", None)
         # the chunked raw-log query spends its time RENDERING a log file on
         # the driver (toLocalIterator) before the scan; the scan itself is

@@ -1403,3 +1403,48 @@ FROM e WHERE NOT is_admin GROUP BY source
 """
 
 EXT_QUERIES["slow_distinct_sketch"] = (q_distinct_sketch, O_DISTINCT_SKETCH)
+
+
+def q_global_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalClass counterpart of slow_class_agg_sketch: the corpus-wide
+    percentile_approx (the global_digest production path) gated against
+    exact eps-rank bounds over ALL events."""
+    from mysql_log_parser_spark.operators.aggregate import GK_ACCURACY
+
+    ev = parsed_events(spark, sf_dir)
+    qt = F.col("query_time").cast("double")
+    n = F.count(F.lit(1))
+    vals = F.array_sort(F.collect_list(qt))
+    pa = F.percentile_approx(qt, F.array(F.lit(0.5), F.lit(0.95)), F.lit(GK_ACCURACY))
+    agg = ev.agg(
+        n.alias("total_queries"),
+        F.element_at(pa, 2).alias("_sk95"),
+        F.element_at(pa, 1).alias("_sk50"),
+        vals.alias("_vals"),
+    )
+    cnt = F.col("total_queries")
+    lo95, hi95 = _rank_band(F.col("_vals"), 95, cnt)
+    lo50, hi50 = _rank_band(F.col("_vals"), 50, cnt)
+    return agg.select(
+        cnt,
+        lo95.alias("qt_lo95"),
+        hi95.alias("qt_hi95"),
+        lo50.alias("qt_lo50"),
+        hi50.alias("qt_hi50"),
+        ((F.col("_sk95") >= lo95) & (F.col("_sk95") <= hi95)).alias("p95_in_bounds"),
+        ((F.col("_sk50") >= lo50) & (F.col("_sk50") <= hi50)).alias("p50_in_bounds"),
+    )
+
+
+O_GLOBAL_SKETCH = _ORACLE_EVENTS_CTE + """
+SELECT count(*) AS total_queries,
+       list_sort(list(qt))[greatest(1, CAST(94*count(*)//100 AS INT))] AS qt_lo95,
+       list_sort(list(qt))[least(CAST(count(*) AS INT), CAST(96*count(*)//100 AS INT)+2)] AS qt_hi95,
+       list_sort(list(qt))[greatest(1, CAST(49*count(*)//100 AS INT))] AS qt_lo50,
+       list_sort(list(qt))[least(CAST(count(*) AS INT), CAST(51*count(*)//100 AS INT)+2)] AS qt_hi50,
+       CAST(TRUE AS BOOLEAN) AS p95_in_bounds,
+       CAST(TRUE AS BOOLEAN) AS p50_in_bounds
+FROM e
+"""
+
+EXT_QUERIES["slow_global_sketch"] = (q_global_sketch, O_GLOBAL_SKETCH)
