@@ -25,8 +25,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--raw-log",
         action="store_true",
-        help="treat --input as ONE raw slow-log FILE (the reference CLI's "
-        "--log mode): parsed in parallel by byte ranges (sources/rawlog.py)",
+        help="treat --input as a raw slow-log FILE or a DIRECTORY of rotated "
+        "logs (the reference CLI's --log mode): parsed in parallel by byte "
+        "ranges (sources/rawlog.py), events tagged per-file",
     )
     ap.add_argument("--chunk-mb", type=int, default=64, help="raw-log chunk size")
     ap.add_argument("--mode", default="sketch", choices=["sketch", "exact"])
@@ -60,8 +61,6 @@ def main(argv: list[str] | None = None) -> None:
         from mysql_log_parser_spark.operators.parse import promote_metrics
         from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
 
-        import os
-
         ev = promote_metrics(
             with_fingerprint(
                 read_raw_slowlog(
@@ -69,9 +68,10 @@ def main(argv: list[str] | None = None) -> None:
                     args.input,
                     chunk_bytes=args.chunk_mb << 20,
                     admin_filter=admin_filter,
-                    # tag events with the file they came from so the routed
-                    # layout and per-source reports stay meaningful
-                    source=os.path.basename(args.input),
+                    # source=None (default): every event is tagged with its
+                    # file's basename — for a single file that IS the file
+                    # name, and for a directory of rotated logs each file
+                    # keeps its own sink instead of collapsing to one
                 )
             )
         )

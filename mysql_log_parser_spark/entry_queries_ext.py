@@ -1172,7 +1172,9 @@ def q_rawlog_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     discard at every cut: sources/rawlog.py), and digest per class.  The
     oracle derives the same digest straight from the events table, so every
     lost/duplicated event at any chunk cut flips the hash."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
@@ -1180,7 +1182,10 @@ def q_rawlog_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
     from mysql_log_parser_spark.entry_queries import docs_from_events
 
+    # corpus-sized scratch file: must outlive the returned (lazy) DataFrame,
+    # so cleanup is deferred to interpreter exit rather than leaked entirely
     d = tempfile.mkdtemp(prefix="mlp_rawlog_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     path = os.path.join(d, "all.log")
     ordered = (
         docs_from_events(spark, sf_dir)
@@ -1338,13 +1343,18 @@ def q_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s, sq = F.col("n"), F.col("s"), F.col("sq")
     mean = s.cast("double") / n
     var = (n * sq - s * s).cast("double") / (n * n).cast("double")
-    z = (F.col("c") - mean) / F.sqrt(var)
+    # var == 0 (all minutes equal) must be pinned explicitly: Spark's 0/0 is
+    # NULL (non-ANSI) while DuckDB's IEEE division yields NaN, so an
+    # unguarded z would flip the oracle hash on any uniform-count class.
+    # Both engines emit z6 = NULL, spike = FALSE for the degenerate case.
+    z = F.when(var > 0, (F.col("c") - mean) / F.sqrt(var))
+    z6 = F.round(z, 6)
     return j.select(
         "class_id",
         "mm",
         F.col("c").alias("events"),
-        F.round(z, 6).alias("z6"),
-        (F.round(z, 6) > 2.0).alias("spike"),
+        z6.alias("z6"),
+        F.coalesce(z6 > 2.0, F.lit(False)).alias("spike"),
     )
 
 
@@ -1360,10 +1370,14 @@ WITH e AS (
   FROM pm GROUP BY class_id
 )
 SELECT pm.class_id, pm.mm, CAST(pm.c AS BIGINT) AS events,
-       round((pm.c - CAST(s AS DOUBLE)/n)
-             / sqrt(CAST(n*sq - s*s AS DOUBLE) / CAST(n*n AS DOUBLE)), 6) AS z6,
-       round((pm.c - CAST(s AS DOUBLE)/n)
-             / sqrt(CAST(n*sq - s*s AS DOUBLE) / CAST(n*n AS DOUBLE)), 6) > 2.0 AS spike
+       CASE WHEN n*sq - s*s > 0
+            THEN round((pm.c - CAST(s AS DOUBLE)/n)
+                       / sqrt(CAST(n*sq - s*s AS DOUBLE) / CAST(n*n AS DOUBLE)), 6)
+            END AS z6,
+       COALESCE(CASE WHEN n*sq - s*s > 0
+                     THEN round((pm.c - CAST(s AS DOUBLE)/n)
+                                / sqrt(CAST(n*sq - s*s AS DOUBLE) / CAST(n*n AS DOUBLE)), 6)
+                     END > 2.0, FALSE) AS spike
 FROM pm JOIN st USING (class_id)
 """
 

@@ -12,6 +12,8 @@ operators get the same correctness gate as the batch ones.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 
@@ -24,6 +26,14 @@ from mysql_log_parser_spark.entry_queries import (
     encode_tokens,
 )
 from mysql_log_parser_spark.streaming.pipeline import stream_events
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that is reclaimed at interpreter exit — streaming inputs/sinks
+    must outlive the (lazy) result DataFrame, so cleanup cannot be inline."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _await_bounded(q, timeout_sec: int = 600) -> None:
@@ -40,7 +50,7 @@ def _await_bounded(q, timeout_sec: int = 600) -> None:
 
 def _tokens_chunks(spark: SparkSession, sf_dir: str) -> str:
     """Render the corpus and write it as a 2-chunk tokens directory."""
-    d = tempfile.mkdtemp(prefix="mlp_stream_in_")
+    d = _scratch_dir("mlp_stream_in_")
     docs = docs_from_events(spark, sf_dir)
     (
         docs.repartition(2)
@@ -63,8 +73,8 @@ def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_log_parser_spark.streaming.pipeline import start_routed_sink
 
     ind = _tokens_chunks(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="mlp_stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="mlp_stream_ckpt_")
+    out = _scratch_dir("mlp_stream_out_")
+    ckpt = _scratch_dir("mlp_stream_ckpt_")
     q = start_routed_sink(stream_events(spark, ind), out, ckpt)
     _await_bounded(q)
     routed = spark.read.parquet(out)
@@ -133,7 +143,7 @@ def _ext_tokens_chunks(spark: SparkSession, sf_dir: str) -> str:
     to a 2-chunk tokens directory for event-time streaming queries."""
     from mysql_log_parser_spark.entry_queries_ext import ext_docs_from_events
 
-    d = tempfile.mkdtemp(prefix="mlp_stream_ext_in_")
+    d = _scratch_dir("mlp_stream_ext_in_")
     (
         ext_docs_from_events(spark, sf_dir)
         .repartition(2)

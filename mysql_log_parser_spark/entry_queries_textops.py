@@ -1005,20 +1005,21 @@ _VOCAB_TOP = 50
 
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word-frequency table, top-K by (count desc, word):
-    explode -> partial-aggregated groupBy; the ranking window runs over
-    VOCAB-cardinality rows (already reduced), which is the only safe place
-    for a global window — never over the corpus itself."""
+    explode -> partial-aggregated groupBy -> orderBy().limit(K), which Spark
+    compiles to TakeOrderedAndProject — a distributed per-partition top-K
+    plus a K-row merge.  (A global row_number window here would exchange the
+    ENTIRE vocabulary — 10^8+ distinct words at corpus scale — through one
+    task; the limit form never moves more than K rows per partition.)  The
+    rank window after the limit runs over exactly K rows."""
     from mysql_log_parser_spark.textops.quality import words_of
 
     d = _docs(spark, sf_dir).select(F.explode(words_of(F.col("text"))).alias("word"))
     counts = d.groupBy("word").agg(
         F.count(F.lit(1)).alias("n"),
     )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(_VOCAB_TOP)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= _VOCAB_TOP)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 O_VOCAB_STATS = f"""

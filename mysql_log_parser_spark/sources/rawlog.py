@@ -70,7 +70,7 @@ def read_raw_slowlog(
     chunk_bytes: int = 64 << 20,
     overlap: int = 1 << 20,
     boundary: bytes = DEFAULT_BOUNDARY,
-    source: str | None = "",
+    source: str | None = None,
     admin_filter=None,
 ) -> DataFrame:
     """Parallel parse of raw log file(s) -> EVENT_SCHEMA events plus a
@@ -78,9 +78,10 @@ def read_raw_slowlog(
 
     `path` may be one file, a list of files, or a DIRECTORY (every regular
     file inside — the rotated-logs layout); chunking applies per file, so
-    parallelism spans files AND byte ranges within each.  `source=None`
-    tags each event with its file's basename (the per-sink fan-out key for
-    multi-file reads); any string tags all events verbatim.
+    parallelism spans files AND byte ranges within each.  The default
+    `source=None` tags each event with its file's basename (the per-sink
+    fan-out key, self-describing for single- and multi-file reads alike);
+    pass a string to tag all events verbatim instead.
 
     One narrow pass: chunk-spec rows -> per-task range read + boundary snap
     (mapInPandas) -> the standard vectorized parse kernel.  No shuffle.

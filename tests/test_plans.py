@@ -135,6 +135,21 @@ def test_upsample_is_narrow(spark):
     assert "EvalPython" not in plan
 
 
+def test_vocab_topk_is_take_ordered(spark):
+    """vocab_stats must compile to TakeOrderedAndProject (per-partition
+    top-K + K-row merge), never a global row_number window that exchanges
+    the whole vocabulary through one task."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_textops import q_vocab_stats
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    plan = _plan(q_vocab_stats(spark, sf))
+    assert "TakeOrderedAndProject" in plan, "vocab top-K lost the distributed take"
+
+
 def test_session_scale_configs_pinned(spark):
     """The session tuning CLAUDE.md calls load-bearing must stay on: AQE
     (runtime coalescing + skew-join splitting — the north-rule's skew
