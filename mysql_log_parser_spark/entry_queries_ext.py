@@ -401,11 +401,11 @@ _IVF_K = 5
 _IVF_NQ = 8
 
 
-def _centroid_literals() -> list[list[float]]:
+def _centroid_literals(k: int = _IVF_C) -> list[list[float]]:
     """Deterministic centroids in [-1, 1]^dim from md5 — precomputed so both
     engines embed identical double literals."""
     cents = []
-    for c in range(_IVF_C):
+    for c in range(k):
         row = []
         for j in range(_IVF_DIM):
             h = hashlib.md5(f"c{c}d{j}".encode()).hexdigest()
@@ -1224,18 +1224,24 @@ EXT_QUERIES["slow_rawlog_chunked"] = (q_rawlog_chunked, O_RAWLOG_CHUNKED)
 _SD_THRESH = 0.95
 _SD_DUP_MOD = 13
 _SD_ITERS = 2
+_SD_K = 32        # cell count — a PARAMETER that must grow ~sqrt(N) with the
+                  # corpus (k=32 at gate scale; a fixed handful of cells would
+                  # degenerate the per-cell join to all-pairs at 100 TB)
+_SD_CAP = 4096    # loud per-cell candidate cap (semantic_dedup_pairs)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) shape: coarse k-means cells bound the
-    candidate set, exact cosine within a cell finds semantic duplicates,
-    bounded min-label propagation picks one canonical survivor per group.
-    Composition of the engine's own pieces: IVF cell assignment (narrow),
-    per-cell self-join (shuffles cell keys only, never all pairs), prenormed
-    single-fold rerank, and components_from_pairs.  Exact dups are injected
-    (vec_id+10000, identical vector -> cosine 1.0) so there is signal."""
-    from mysql_log_parser_spark.textops.dedup import components_from_pairs
-    from mysql_log_parser_spark.textops.similarity import cosine_prenorm, norm
+    """SemDeDup (Abbas et al. 2023) via the library operator
+    (textops/dedup.py:semantic_dedup_components): k=32 coarse cells bound
+    the candidate set (single nested-literal argmax assignment — one fold
+    regardless of k), exact prenormed cosine within a cell finds semantic
+    duplicates, bounded min-label propagation picks one canonical survivor
+    per group.  The per-cell cap (loud raise_error on overflow) makes the
+    "never all pairs" claim hold by construction at any N; centroids are
+    deterministic seeds here, refined by the k-means operators in
+    production.  Exact dups are injected (vec_id+10000, identical vector ->
+    cosine 1.0) so there is signal."""
+    from mysql_log_parser_spark.textops.dedup import semantic_dedup_components
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -1244,52 +1250,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"), "v"
     )
     corpus = e.unionByName(dupes)
-    cents = _centroid_literals()
-    choice = F.array_max(
-        F.array(
-            *[
-                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
-                for c in range(_IVF_C)
-            ]
-        )
-    )
-    cells = corpus.select(
-        "vec_id", "v",
-        (-choice.getField("nc")).cast("long").alias("cell"),
-        norm(F.col("v")).alias("nrm"),
-    )
-    a, b = cells.alias("a"), cells.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn(
-            "cos6",
-            F.round(
-                cosine_prenorm(
-                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-                ),
-                6,
-            ),
-        )
-        .where(F.col("cos6") >= _SD_THRESH)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    )
-    return components_from_pairs(
-        pairs, corpus, id_col="vec_id", iters=_SD_ITERS
+    return semantic_dedup_components(
+        corpus,
+        _centroid_literals(_SD_K),
+        threshold=_SD_THRESH,
+        id_col="vec_id",
+        vec_col="v",
+        iters=_SD_ITERS,
+        cell_cap=_SD_CAP,
     )
 
 
 def _o_semantic_dedup() -> str:
-    cents = _centroid_literals()
-    dots = ", ".join(f"list_dot_product(v, {cents[c]}) AS d{c}" for c in range(_IVF_C))
-    cell_case = (
-        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
-        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
-        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
-    )
+    cents = _centroid_literals(_SD_K)
     from mysql_log_parser_spark.entry_queries_textops import _o_label_prop
 
     return f"""
@@ -1299,9 +1272,11 @@ WITH c AS (
   SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
   WHERE vec_id % {_SD_DUP_MOD} = 0
 ), d AS (
-  SELECT vec_id, v, {dots} FROM c
+  SELECT vec_id, v,
+         list_transform({cents}, ct -> list_dot_product(v, ct)) AS dl
+  FROM c
 ), cells AS (
-  SELECT vec_id, v, CAST({cell_case} AS BIGINT) AS cell FROM d
+  SELECT vec_id, v, CAST(list_indexof(dl, list_max(dl)) - 1 AS BIGINT) AS cell FROM d
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -291,6 +291,102 @@ def simhash_buckets(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_cap: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate stage: coarse centroid cells
+    bound the candidate set, exact cosine within a cell yields semantic
+    near-dup pairs (id_a < id_b).
+
+    Scale contract: the per-cell self-join is O(sum |cell|^2), so the CELL
+    COUNT must grow with the corpus — k ~ sqrt(N) keeps expected cell size
+    ~sqrt(N) and total pair work ~N^1.5, vs the all-pairs N^2 a fixed small
+    k degenerates to.  Centroids are caller-supplied: seed them determinis-
+    tically and refine with the k-means step/iterate operators (the
+    entry_queries_ext k-means queries show the loop; only O(k*dim) state
+    ever crosses the driver).
+
+    `cell_cap` makes the bound LOUD instead of silent: when any cell holds
+    more than `cell_cap` vectors the job fails with the cell id and size
+    (raise k or re-fit centroids) rather than quietly running a quadratic
+    join — the same fail-don't-degrade contract as the rawlog scanner's
+    overlap check (sources/rawlog.py).  The guard is one tiny broadcast of
+    per-cell counts folded into the cell column, so column pruning cannot
+    drop it."""
+    from mysql_log_parser_spark.textops.similarity import (
+        cosine_prenorm,
+        norm,
+        with_nearest_centroid,
+    )
+
+    cells = with_nearest_centroid(
+        emb.select(id_col, vec_col), centroids, vec_col=vec_col
+    ).withColumn("_nrm", norm(F.col(vec_col)))
+    if cell_cap is not None:
+        counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_cell_n"))
+        guarded_cell = F.when(F.col("_cell_n") <= cell_cap, F.col("cell")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_dedup cell "),
+                    F.col("cell").cast("string"),
+                    F.lit(" holds "),
+                    F.col("_cell_n").cast("string"),
+                    F.lit(
+                        f" > cell_cap {cell_cap} vectors; raise k (more "
+                        "centroids) or re-fit centroids before the pair join"
+                    ),
+                )
+            )
+        )
+        cells = (
+            cells.join(F.broadcast(counts), "cell")
+            .withColumn("cell", guarded_cell)
+            .drop("_cell_n")
+        )
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = cosine_prenorm(
+        F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), F.col("a._nrm"), F.col("b._nrm")
+    )
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("_cos", cos)
+        .where(F.col("_cos") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+
+
+def semantic_dedup_components(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    iters: int = 2,
+    cell_cap: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Full SemDeDup decision: cell-bounded near-dup pairs -> bounded
+    min-label propagation -> one canonical survivor per semantic cluster
+    (keep = id == component).  See semantic_dedup_pairs for the scale
+    contract (k grows with N; cell_cap fails loudly)."""
+    pairs = semantic_dedup_pairs(
+        emb, centroids, threshold, id_col, vec_col, cell_cap, round_to
+    )
+    return components_from_pairs(pairs, emb, id_col=id_col, iters=iters)
+
+
 def components_from_pairs(
     pairs: DataFrame,
     ids: DataFrame,

@@ -91,6 +91,31 @@ def cosine_topk_bruteforce(
     )
 
 
+def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_i) via ONE nested-array literal and
+    one transform — expression size stays a single CreateArray tree and the
+    per-row work one pass over k*dim, independent of how many centroids the
+    caller asks for (the per-centroid-fold form is O(k) separate interpreted
+    aggregates and stops being viable past a handful of cells)."""
+    m = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in centroids])
+    return F.transform(m, lambda c: dot(vec, c))
+
+
+def with_nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append argmax-dot centroid cell (ties to the smallest index).  The
+    dot array is materialized in its own projection first: Catalyst HOFs are
+    interpreted and never CSE'd, so referencing the fold from both
+    array_position and array_max directly would evaluate it twice."""
+    dotted = df.withColumn("_dots", centroid_dots(F.col(vec_col), centroids))
+    cell = (F.array_position("_dots", F.array_max("_dots")) - 1).cast("long")
+    return dotted.withColumn(out_col, cell).drop("_dots")
+
+
 def _plane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic +/-1 hyperplane from md5 parity (precomputed literals —
     no RNG state; identical across engines/runs)."""

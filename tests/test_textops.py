@@ -304,3 +304,51 @@ def test_take_token_budget(spark):
     # highest-quality first (doc 0,1,2), stop when the next doc would burst
     assert sorted(r["doc_id"] for r in kept) == [0, 1, 2]
     assert max(r["cum_tok"] for r in kept) == 300
+
+
+def _emb_double(emb):
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def test_semantic_dedup_cell_cap_raises_loudly(spark, emb):
+    """Oversized cells must FAIL with the cell id/size, never silently run a
+    quadratic per-cell join — the scale contract of semantic_dedup_pairs."""
+    from mysql_log_parser_spark.entry_queries_ext import _centroid_literals
+    from mysql_log_parser_spark.textops.dedup import semantic_dedup_pairs
+
+    pairs = semantic_dedup_pairs(
+        _emb_double(emb), _centroid_literals(4), cell_cap=3
+    )
+    with pytest.raises(Exception, match="cell_cap"):
+        pairs.count()
+
+
+def test_semantic_dedup_respects_cap_and_finds_exact_dups(spark, emb):
+    """At the gate parameters (k=32) every cell stays under the cap, the
+    guard passes, and injected identical vectors come out keep=False."""
+    from mysql_log_parser_spark.entry_queries_ext import _SD_CAP, _SD_K, _centroid_literals
+    from mysql_log_parser_spark.textops.dedup import semantic_dedup_components
+    from mysql_log_parser_spark.textops.similarity import with_nearest_centroid
+
+    e = _emb_double(emb)
+    dup = e.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    corpus = e.unionByName(dup)
+    cents = _centroid_literals(_SD_K)
+    sizes = [
+        r["n"]
+        for r in with_nearest_centroid(corpus, cents)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(sizes) <= _SD_CAP, f"gate params violate their own cap: {max(sizes)}"
+    out = semantic_dedup_components(
+        corpus, cents, iters=2, cell_cap=_SD_CAP
+    ).persist()
+    n_dup = dup.count()
+    dropped = out.where((F.col("vec_id") >= 10000) & ~F.col("keep")).count()
+    # identical vectors share a cell by construction -> all injected copies drop
+    assert dropped == n_dup, (dropped, n_dup)
+    assert out.where(F.col("keep")).count() == out.count() - n_dup
