@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,13 +131,66 @@ def _plane(table: int, plane: int, dim: int) -> list[float]:
 
 
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
-    """n_planes sign bits of dot(vec, plane) -> int bucket key."""
-    out = F.lit(0)
-    for p in range(n_planes):
-        lit_arr = F.array(*[F.lit(x) for x in _plane(table, p, dim)])
-        d = dot(vec, lit_arr)
-        out = out + F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out
+    """n_planes sign bits of dot(vec, plane) -> int bucket key.
+
+    The plane matrix is ONE nested-array literal folded in a single
+    transform + zip_with pass (one expression subtree), not one interpreted
+    aggregate per plane each embedding its own dim-literal array — the
+    per-plane form multiplies both expression size and fold count by
+    n_planes.  For production embedding widths (dim >= ~256) use the Arrow
+    kernel (hyperplane_signatures_arrow): a literal tree is still O(n_planes
+    * dim) nodes, and the numpy matmul path keeps the plan O(1) regardless
+    of dim."""
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in _plane(table, p, dim)]) for p in range(n_planes)]
+    )
+    weights = F.array(*[F.lit(2**p) for p in range(n_planes)])
+    dots = F.transform(planes, lambda pl: dot(vec, pl))
+    bits = F.zip_with(
+        dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0))
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
+
+
+def hyperplane_signatures_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    out_col: str = "_sigs",
+) -> DataFrame:
+    """All n_tables bucket keys in ONE Arrow-batched pandas_udf: signatures
+    come from a numpy (batch x dim) @ (dim x n_planes) matmul per table, so
+    the physical plan carries a single ArrowEvalPython node of constant size
+    — no O(n_planes*dim) literal tree — and the per-row cost is a BLAS
+    matmul instead of interpreted folds.  The scale path for dim >= ~256.
+
+    Sign-bit parity with the Catalyst path holds whenever the dot products
+    are exactly representable (e.g. integer-valued inputs against the +/-1
+    planes); for arbitrary floats a dot within one ulp of zero may bucket
+    differently (BLAS vs left-to-right summation) — irrelevant to ANN
+    semantics because buckets are hash buckets and the rerank is exact."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [[_plane(t, p, dim) for p in range(n_planes)] for t in range(n_tables)]
+    )  # n_tables x n_planes x dim
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        out = np.stack(
+            [((m @ planes[t].T) > 0) @ weights for t in range(n_tables)], axis=1
+        )
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, sigs(vec_col))
 
 
 def cosine_topk_lsh(
@@ -148,25 +203,47 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Multi-table random-hyperplane ANN: a candidate is any vector sharing a
     bucket with the query in ANY of `n_tables` independent tables; exact
     cosine rerank on the deduped candidate set.  Recall/cost tunable via
     (n_planes, n_tables): fewer planes -> bigger buckets, more tables ->
     higher recall.  Candidate generation shuffles bucket keys only — never
-    all pairs."""
-    sigs = [
-        hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias(f"b{t}")
-        for t in range(n_tables)
-    ]
+    all pairs.
+
+    `kernel` picks the signature implementation: 'catalyst' (nested-literal
+    fold, oracle-replicable in plain SQL), 'arrow' (one pandas_udf matmul —
+    constant plan size, the path for production embedding widths), or
+    'auto' (arrow once the plane matrix passes ~8k literals)."""
+    if kernel == "auto":
+        kernel = "arrow" if dim * n_planes * n_tables >= 8192 else "catalyst"
+
+    def with_sigs(df: DataFrame) -> DataFrame:
+        if kernel == "arrow":
+            sigged = hyperplane_signatures_arrow(
+                df, dim, n_planes, n_tables, vec_col=vec_col
+            )
+            return sigged.select(
+                "*",
+                *[F.element_at("_sigs", t + 1).alias(f"b{t}") for t in range(n_tables)],
+            ).drop("_sigs")
+        return df.select(
+            "*",
+            *[
+                hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        )
+
     nrm = norm(F.col(vec_col))
-    c = emb.select(
+    c = with_sigs(emb).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
-        nrm.alias("nnrm"), *sigs,
+        nrm.alias("nnrm"), *[F.col(f"b{t}") for t in range(n_tables)],
     )
-    q = queries.select(
+    q = with_sigs(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        nrm.alias("qnrm"), *sigs,
+        nrm.alias("qnrm"), *[F.col(f"b{t}") for t in range(n_tables)],
     )
     c_long = c.select(
         "neighbor_id", "nvec", "nnrm",

