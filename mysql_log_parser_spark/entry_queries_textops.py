@@ -829,6 +829,27 @@ FROM documents d LEFT JOIN h USING (doc_id)
 TEXTOPS_QUERIES["decontaminate"] = (q_decontaminate, O_DECONTAMINATE)
 
 
+def q_decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same decontamination semantics through the NON-broadcast path
+    (probes_broadcastable=False): bounded bucket prefilter + pinned shuffle
+    hash join — the plan used when the probe set outgrows the executor
+    broadcast budget.  Gated against the identical oracle as `decontaminate`,
+    so both join strategies must produce byte-identical results."""
+    from mysql_log_parser_spark.textops.decontam import (
+        contamination_hits,
+        probe_ngrams,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = probe_ngrams(d.where(F.col("doc_id") % _DECON_MOD == 0), n=_DECON_N)
+    return contamination_hits(
+        d, probes, n=_DECON_N, probes_broadcastable=False
+    )
+
+
+TEXTOPS_QUERIES["decontaminate_shuffle"] = (q_decontaminate_shuffle, O_DECONTAMINATE)
+
+
 # -- 14. dedup components: pairs -> canonical keep-list ------------------------
 
 _CC_ITERS = 3

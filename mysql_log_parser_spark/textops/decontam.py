@@ -33,17 +33,43 @@ def contamination_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    probes_broadcastable: bool = True,
+    prefilter_buckets: int = 1 << 20,
 ) -> DataFrame:
     """Per-doc count of probe n-grams present (distinct per doc) and a
-    contaminated flag; docs with zero hits are preserved via left join."""
+    contaminated flag; docs with zero hits are preserved via left join.
+
+    `probes_broadcastable` is an EXPLICIT size statement, not a guess:
+
+    - True (benchmark-sized probe sets): one broadcast hash join on gram —
+      the corpus is never shuffled by gram at all.
+    - False (probe sets past executor broadcast budget, e.g. many benchmarks
+      x many grams): a bloom-style prefilter then an exact shuffle join.
+      The prefilter broadcasts only the probes' DISTINCT xxhash64 buckets
+      mod `prefilter_buckets` (bounded at <= prefilter_buckets longs no
+      matter how big the probe set is) and left-semi drops every corpus
+      gram whose bucket holds no probe — expected pass-through rate
+      ~min(1, |probe grams| / prefilter_buckets) of non-matching grams.
+      Survivors go through a shuffle hash join pinned via hint (never an
+      implicit broadcast of a side the caller declared too big).  Size
+      prefilter_buckets ~8x the expected distinct probe grams; an undersized
+      prefilter only costs selectivity, never correctness.
+    """
     grams = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
-    hits = (
-        grams.join(F.broadcast(probes), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
-    )
+    if probes_broadcastable:
+        matched = grams.join(F.broadcast(probes), "gram")
+    else:
+        bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(prefilter_buckets))  # noqa: E731
+        probe_buckets = probes.select(bucket_of(F.col("gram")).alias("_gb")).distinct()
+        survivors = grams.join(
+            F.broadcast(probe_buckets),
+            bucket_of(F.col("gram")) == F.col("_gb"),
+            "left_semi",
+        )
+        matched = survivors.join(probes.hint("shuffle_hash"), "gram")
+    hits = matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_probe_hits"))
     return (
         docs.select(id_col)
         .join(hits, id_col, "left")

@@ -108,6 +108,27 @@ def test_decontaminate_broadcasts_probes(spark):
     assert "EvalPython" not in plan
 
 
+def test_decontaminate_shuffle_path_never_broadcasts_probes(spark):
+    """probes_broadcastable=False: the gram join must be a pinned shuffle
+    hash join (the caller declared the probe set too big to broadcast) and
+    the only broadcast is the bounded bucket prefilter."""
+    from mysql_log_parser_spark.textops.decontam import (
+        contamination_hits,
+        probe_ngrams,
+    )
+
+    d = _docs_df(spark)
+    probes = probe_ngrams(d.where(F.col("doc_id") % 9 == 0))
+    plan = _plan(
+        contamination_hits(d, probes, probes_broadcastable=False)
+    )
+    assert "ShuffledHashJoin" in plan, "gram join lost the pinned shuffle strategy"
+    assert "LeftSemi, BuildRight" in plan or "BroadcastHashJoin" in plan, (
+        "bucket prefilter missing"
+    )
+    assert "EvalPython" not in plan
+
+
 def test_ann_rerank_prenorm_single_fold_per_pair(spark):
     """Brute-force top-k: norms computed once per side BEFORE the join
     (in the per-side Projects), so the post-join cosine is a single dot
