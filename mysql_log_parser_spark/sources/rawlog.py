@@ -39,6 +39,38 @@ from mysql_log_parser_spark.operators.parse import parse_slowlog
 DEFAULT_BOUNDARY = b"# Time:"
 
 
+class PosixLogStore:
+    """Default storage backend: the local filesystem.
+
+    The scanner needs exactly the three primitives an object store exposes —
+    stat (size), list, and ranged read (HTTP range GET) — so an S3/HDFS/GCS
+    store drops in by implementing this interface; the chunk math and the
+    boundary-snap parse above it are storage-agnostic.  Instances are
+    pickled into the mapInPandas closure, so implementations must carry
+    configuration only (endpoints, credentials providers), never open
+    handles."""
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_files(self, path: str) -> list[str]:
+        """Regular, non-hidden files directly under `path`, sorted."""
+        return sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if os.path.isfile(os.path.join(path, n)) and not n.startswith(".")
+        )
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        """Bytes [start, start+length); short reads at EOF are expected."""
+        with open(path, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+
+
 def _boundary_offsets(buf: bytes, boundary: bytes, include_zero: bool) -> list[int]:
     """Offsets of lines starting with `boundary` within buf (line starts
     only: position 0 when requested, else the byte after a newline)."""
@@ -55,8 +87,11 @@ def _boundary_offsets(buf: bytes, boundary: bytes, include_zero: bool) -> list[i
         i = j + 1
 
 
-def chunk_specs(path: str, chunk_bytes: int) -> list[tuple[str, int, int, int]]:
-    size = os.path.getsize(path)
+def chunk_specs(
+    path: str, chunk_bytes: int, size: int | None = None
+) -> list[tuple[str, int, int, int]]:
+    if size is None:
+        size = os.path.getsize(path)
     n = max(1, -(-size // chunk_bytes))
     return [
         (path, i, i * chunk_bytes, min((i + 1) * chunk_bytes, size))
@@ -72,6 +107,7 @@ def read_raw_slowlog(
     boundary: bytes = DEFAULT_BOUNDARY,
     source: str | None = None,
     admin_filter=None,
+    store: PosixLogStore | None = None,
 ) -> DataFrame:
     """Parallel parse of raw log file(s) -> EVENT_SCHEMA events plus a
     `base` -> doc_id encoding for absolute offsets (see with_file_offset).
@@ -85,13 +121,16 @@ def read_raw_slowlog(
 
     One narrow pass: chunk-spec rows -> per-task range read + boundary snap
     (mapInPandas) -> the standard vectorized parse kernel.  No shuffle.
+
+    `store` abstracts the byte source (default: posix).  The driver issues
+    only metadata calls (list + one size per file); every task issues one
+    ranged read — against an object store that is one range GET, so the
+    same scanner runs unchanged over S3/HDFS via a store implementing
+    is_dir/list_files/size/read_range (see PosixLogStore).
     """
-    if isinstance(path, str) and os.path.isdir(path):
-        paths = sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if os.path.isfile(os.path.join(path, n)) and not n.startswith(".")
-        )
+    store = store if store is not None else PosixLogStore()
+    if isinstance(path, str) and store.is_dir(path):
+        paths = store.list_files(path)
     elif isinstance(path, str):
         paths = [path]
     else:
@@ -101,8 +140,8 @@ def read_raw_slowlog(
     specs = []
     sizes = {}
     for p in paths:
-        sizes[p] = os.path.getsize(p)
-        specs.extend(chunk_specs(p, chunk_bytes))
+        sizes[p] = store.size(p)
+        specs.extend(chunk_specs(p, chunk_bytes, sizes[p]))
     specs = [
         (p, i, s, e) for i, (p, _, s, e) in enumerate(specs)
     ]  # globally unique chunk ids across files
@@ -117,9 +156,9 @@ def read_raw_slowlog(
                 # read one prefix byte so a boundary line starting EXACTLY at
                 # r.start is still seen as newline-preceded by this chunk
                 prefix = 0 if r.start == 0 else 1
-                with open(r.path, "rb") as f:
-                    f.seek(r.start - prefix)
-                    buf = f.read((r.end - r.start) + overlap + prefix)
+                buf = store.read_range(
+                    r.path, r.start - prefix, (r.end - r.start) + overlap + prefix
+                )
                 chunk_len = r.end - r.start
                 at_eof = (r.start - prefix) + len(buf) >= sizes[r.path]
                 offs = _boundary_offsets(buf, boundary, include_zero=r.start == 0)

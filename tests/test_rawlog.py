@@ -129,3 +129,49 @@ def test_directory_of_rotated_logs(spark, tmp_path):
            ev.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
     assert set(per) == {"slow.0.log", "slow.1.log", "slow.2.log"}
     assert len(set(per.values())) == 1  # identical files -> identical counts
+
+
+class _FakeRangeStore:
+    """In-memory 'remote object store': blobs live ONLY in this dict, so any
+    posix fallback in the scanner would fail — parity through this store
+    proves every byte flows through the size/list/read_range seam.  Range
+    semantics mirror an HTTP range GET (short read past EOF)."""
+
+    def __init__(self, blobs: dict):
+        self.blobs = dict(blobs)
+
+    def is_dir(self, path):
+        return not path.endswith(".log")
+
+    def list_files(self, path):
+        return sorted(p for p in self.blobs if p.startswith(path + "/"))
+
+    def size(self, path):
+        return len(self.blobs[path])
+
+    def read_range(self, path, start, length):
+        assert 0 <= start <= len(self.blobs[path]), (path, start)
+        assert length >= 0
+        return self.blobs[path][start : start + length]
+
+
+def test_fake_remote_store_range_reads(spark, tmp_path):
+    """The scanner over a remote-style store (no file on disk) must equal
+    the posix parse of the same bytes, at chunk sizes forcing many ranged
+    reads, including the directory-listing path."""
+    _, text = _make_log(tmp_path, n_events=25)
+    blob = text.encode()
+    store = _FakeRangeStore({"bucket/a.log": blob, "bucket/b.log": blob})
+    whole = parse_slowlog(
+        spark.createDataFrame([("w", text, "")], "doc_id string, text string, source string")
+    )
+    want = sorted(r["query"] for r in whole.select("query").collect())
+    for chunk_bytes in (200, 1 << 20):
+        ev = read_raw_slowlog(
+            spark, "bucket", chunk_bytes=chunk_bytes, overlap=4096, store=store
+        )
+        per = {
+            r["source"]: sorted(x["query"] for x in ev.where(F.col("source") == r["source"]).select("query").collect())
+        for r in ev.select("source").distinct().collect()}
+        assert set(per) == {"a.log", "b.log"}
+        assert per["a.log"] == want and per["b.log"] == want, chunk_bytes
