@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "sequence_pack",
     # new this round
     "decontaminate_shuffle",
+    "slow_digest_merge",
     "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
 ]
 

@@ -37,6 +37,22 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed_min(fn, repeats: int, slow_cutoff: float = 8.0) -> float:
+    """Min of up to `repeats` timed runs — the least-noise estimate on a
+    shared box, where single runs have shown 10-35% spread with unchanged
+    plans (BENCH.md regression table).  Queries slower than `slow_cutoff`
+    stop after two runs: past that span the run-to-run spread is already
+    small relative to the cost of a third run."""
+    runs = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+        if i >= 1 and runs[0] >= slow_cutoff:
+            break
+    return min(runs)
+
+
 def prepare_tokens(spark, sf_dir: str, replicate: int = 1) -> str:
     """Materialize the tokens input table for `sf_dir` (cached in /tmp).
 
@@ -116,24 +132,34 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Flagship: tokens table -> parse -> fingerprint -> per-class digest.
-    # SPARK_GRAFT_REPEATS>1 takes the min of repeated runs — the least-noise
-    # estimate on a shared box (page cache / GC warmup dominate the spread).
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "1"))
-    runs = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        _materialize(class_digest(pipeline_events(), mode="sketch"))
-        runs.append(time.perf_counter() - t0)
-    flagship = min(runs)
+    # Min-of-N (default 3) everywhere: single-run timings on a shared box
+    # have shown 10-35% spread with byte-identical plans, which a regression
+    # table cannot distinguish from a real loss.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    flagship = _timed_min(
+        lambda: _materialize(class_digest(pipeline_events(), mode="sketch")),
+        repeats,
+        slow_cutoff=float("inf"),  # the headline always gets all N runs
+    )
     timings["pipeline_class_digest"] = round(flagship, 3)
 
-    t0 = time.perf_counter()
-    _materialize(global_digest(pipeline_events(), mode="sketch"))
-    timings["global_digest"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    route_partitioned(pipeline_events(), "/tmp/mlp_bench_routed", mode="overwrite")
-    timings["route_fanout_write"] = round(time.perf_counter() - t0, 3)
+    q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
+    timings["global_digest"] = round(
+        _timed_min(
+            lambda: _materialize(global_digest(pipeline_events(), mode="sketch")),
+            q_repeats,
+        ),
+        3,
+    )
+    timings["route_fanout_write"] = round(
+        _timed_min(
+            lambda: route_partitioned(
+                pipeline_events(), "/tmp/mlp_bench_routed", mode="overwrite"
+            ),
+            q_repeats,
+        ),
+        3,
+    )
 
     # Structured Streaming leg: the SAME corpus through readStream -> parse
     # -> fingerprint -> routed sink (availableNow), one bounded run.
@@ -178,9 +204,9 @@ def main() -> None:
         # the same parse kernel the flagship already benches
         timed.pop("slow_rawlog_chunked", None)
         for name, (fn, _) in timed.items():
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(
+                _timed_min(lambda: _materialize(fn(spark, sf_dir)), q_repeats), 3
+            )
 
     out = {
         "metric": "end_to_end_pipeline_sec",

@@ -572,6 +572,46 @@ FROM e
 EXT_QUERIES["slow_rollup_digest"] = (q_rollup_digest, O_ROLLUP_DIGEST)
 
 
+# -- resumable digest: chunk-level partials merged without re-reading events --
+
+def q_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-aggregation law end-to-end: events are split into 3
+    pseudo-chunks (xxhash64 of doc_id — the split must NOT matter), each
+    chunk reduced to its mergeable partial digest (operators/aggregate.py:
+    partial_class_digest), and the partials merged (merge_class_digests).
+    The oracle derives the digest DIRECTLY from the source events, so any
+    non-mergeable state or order-dependent float drift in the partial/merge
+    split flips the hash.  This is the restart path of a checkpointed run:
+    merge committed partials in O(classes) instead of re-aggregating
+    O(events)."""
+    from mysql_log_parser_spark.operators.aggregate import (
+        merge_class_digests,
+        partial_class_digest,
+    )
+
+    ev = parsed_events(spark, sf_dir).withColumn(
+        "_shard", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    )
+    partials = partial_class_digest(ev, shard_col="_shard")
+    return merge_class_digests(partials)
+
+
+O_DIGEST_MERGE = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       min(qt) AS qt_min,
+       max(qt) AS qt_max,
+       sum(qt)/count(*) AS qt_avg,
+       CAST(sum(rows_sent) AS BIGINT) AS rs_sum,
+       CAST(sum(rows_examined) AS BIGINT) AS rex_sum
+FROM e GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_digest_merge"] = (q_digest_merge, O_DIGEST_MERGE)
+
+
 # -- A4: bool-metric aggregation over the dynamic map (stats.go:39-42, 88-106) -
 
 def q_bool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -244,6 +244,51 @@ def salted_class_digest(
     )
 
 
+def partial_class_digest(
+    events: DataFrame, shard_col: str | None = None
+) -> DataFrame:
+    """Mergeable per-class partial state — the unit a RESUMABLE digest
+    persists per input chunk (CheckpointedRunner writes events per chunk;
+    writing THIS instead lets a restart merge committed partials without
+    ever re-reading their events).
+
+    Every field is associatively mergeable (cnt/sum/min/max); derived stats
+    (avg) are computed only after the merge, never stored.  With the
+    corpus's fixed-point metric encoding (Query_time quantized to k/64) the
+    float sums are exact in any grouping/merge order, so
+    merge(partial(A) + partial(B)) == digest(A u B) bit-for-bit — the law
+    test_merge_digest_law asserts and the slow_digest_merge oracle gates."""
+    keys = ([shard_col] if shard_col else []) + ["class_id"]
+    qt = F.col("query_time").cast("double")
+    return events.groupBy(*keys).agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(qt).alias("qt_sum"),
+        F.min(qt).alias("qt_min"),
+        F.max(qt).alias("qt_max"),
+        F.sum("rows_sent").alias("rs_sum"),
+        F.sum("rows_examined").alias("rex_sum"),
+    )
+
+
+def merge_class_digests(partials: DataFrame) -> DataFrame:
+    """Merge any union of partial_class_digest outputs (across chunks,
+    runs, or salt shards) into the combined per-class digest.  One keyed
+    aggregation over CLASS-cardinality rows — the events are never touched
+    again, which is what makes incremental/resumed aggregation O(classes)
+    instead of O(events) on restart."""
+    return partials.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.sum("cnt").alias("total_queries"),
+        F.sum("qt_sum").alias("qt_sum"),
+        F.min("qt_min").alias("qt_min"),
+        F.max("qt_max").alias("qt_max"),
+        (F.sum("qt_sum") / F.sum("cnt")).alias("qt_avg"),
+        F.sum("rs_sum").alias("rs_sum"),
+        F.sum("rex_sum").alias("rex_sum"),
+    )
+
+
 def rollup_digest(events: DataFrame, mode: str = "sketch") -> DataFrame:
     """Per-class AND global digest in ONE aggregation via rollup(class_id):
     Catalyst expands each input row into the (class_id) and () grouping sets
