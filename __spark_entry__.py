@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     # new this round
     "decontaminate_shuffle",
     "slow_digest_merge",
+    "slow_bucketed_join",
     "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
 ]
 

@@ -612,6 +612,67 @@ FROM e GROUP BY fingerprint
 EXT_QUERIES["slow_digest_merge"] = (q_digest_merge, O_DIGEST_MERGE)
 
 
+# -- bucketed co-located join: shuffle paid once at write time ----------------
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events and their per-class stats written as SAME-bucket-count tables
+    on class_id (operators/bucketing.py), then joined and re-aggregated on
+    that key — the standing-table layout where every class-keyed join and
+    groupBy after the one write-time shuffle is exchange-free (plan-asserted
+    in tests/test_plans.py).  Result: per class, how many events exceed the
+    class's own mean Query_time; the oracle derives the same from the source
+    events, so bucket routing that lost or duplicated any row flips the
+    hash."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from mysql_log_parser_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    d = tempfile.mkdtemp(prefix="mlp_bucketed_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+    ev = parsed_events(spark, sf_dir).select(
+        "class_id", "fingerprint", F.col("query_time").cast("double").alias("qt")
+    )
+    write_bucketed(
+        ev.select("class_id", "qt"),
+        f"mlp_ev_{tag}", f"{d}/ev", ("class_id",), 8, sort_cols=("class_id",),
+    )
+    cls = ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("qt").alias("qt_sum"),
+    )
+    write_bucketed(cls, f"mlp_cls_{tag}", f"{d}/cls", ("class_id",), 8)
+    j = colocated_join(spark, f"mlp_ev_{tag}", f"mlp_cls_{tag}", ["class_id"])
+    above = F.when(F.col("qt") > F.col("qt_sum") / F.col("cnt"), 1).otherwise(0)
+    return j.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+        F.sum(above).alias("n_above_avg"),
+    )
+
+
+O_BUCKETED_JOIN = _ORACLE_EVENTS_CTE + """
+, cls AS (
+  SELECT fingerprint, count(*) AS cnt, sum(qt) AS qt_sum FROM e GROUP BY fingerprint
+)
+SELECT upper(substr(md5(e.fingerprint), 17, 16)) AS class_id,
+       e.fingerprint,
+       count(*) AS total_queries,
+       CAST(sum(CASE WHEN e.qt > c.qt_sum / c.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM e JOIN cls c ON c.fingerprint = e.fingerprint
+GROUP BY e.fingerprint
+"""
+
+EXT_QUERIES["slow_bucketed_join"] = (q_bucketed_join, O_BUCKETED_JOIN)
+
+
 # -- A4: bool-metric aggregation over the dynamic map (stats.go:39-42, 88-106) -
 
 def q_bool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

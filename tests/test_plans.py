@@ -156,6 +156,35 @@ def test_upsample_is_narrow(spark):
     assert "EvalPython" not in plan
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed by the join key at the same bucket count must
+    join AND re-aggregate on that key with ZERO exchanges — the write-time
+    shuffle is the only one ever paid."""
+    import uuid
+
+    from mysql_log_parser_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    ev = spark.range(200).select(
+        (F.col("id") % 7).cast("string").alias("class_id"),
+        (F.col("id") % 13).cast("double").alias("qt"),
+    )
+    cls = ev.groupBy("class_id").agg(F.avg("qt").alias("qt_avg"))
+    write_bucketed(ev, f"t_ev_{tag}", str(tmp_path / "ev"), ("class_id",), 4)
+    write_bucketed(cls, f"t_cls_{tag}", str(tmp_path / "cls"), ("class_id",), 4)
+    out = (
+        colocated_join(spark, f"t_ev_{tag}", f"t_cls_{tag}", ["class_id"])
+        .groupBy("class_id")
+        .agg(F.sum(F.when(F.col("qt") > F.col("qt_avg"), 1).otherwise(0)).alias("n"))
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, "bucketed join/agg reintroduced a shuffle"
+    assert out.count() == 7
+
+
 def test_vocab_topk_is_take_ordered(spark):
     """vocab_stats must compile to TakeOrderedAndProject (per-partition
     top-K + K-row merge), never a global row_number window that exchanges
