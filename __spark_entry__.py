@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "decontaminate_shuffle",
     "slow_digest_merge",
     "slow_bucketed_join",
+    "stream_dedup",
     "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
 ]
 

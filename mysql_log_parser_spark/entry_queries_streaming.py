@@ -206,3 +206,51 @@ FROM e GROUP BY 1, 2
 """
 
 STREAMING_QUERIES["stream_window_agg"] = (q_stream_window_agg, O_STREAM_WINDOW_AGG)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once upstream -> exactly-once downstream: every third doc is
+    REDELIVERED (written to a second input chunk with identical doc_id), the
+    stream parses both copies, and dropDuplicates on the event identity
+    (doc_id, event_idx) holds per-key state that admits each event once.
+    The oracle is the single-delivery per-sink derivation, so any duplicate
+    that leaks through — or any legitimate event the state wrongly drops —
+    flips the hash.  Bounded availableNow run; production would add a
+    watermark to bound the dedup state to the redelivery horizon."""
+    ind = _scratch_dir("mlp_stream_dup_in_")
+    docs = docs_from_events(spark, sf_dir)
+    tok = docs.repartition(2).select(
+        "doc_id", encode_tokens("text").alias("tokens"), "source"
+    ).withColumn("n_tok", F.size("tokens"))
+    tok.write.mode("overwrite").parquet(ind)
+    # the redelivered chunk: same doc_ids, same payload, appended later
+    redeliver = docs.where(
+        F.abs(F.hash("doc_id")) % 3 == 0
+    ).repartition(1).select(
+        "doc_id", encode_tokens("text").alias("tokens"), "source"
+    ).withColumn("n_tok", F.size("tokens"))
+    redeliver.write.mode("append").parquet(ind)
+
+    name = f"mlp_dedup_{uuid.uuid4().hex[:8]}"
+    ev = stream_events(spark, ind).dropDuplicates(["doc_id", "event_idx"])
+    q = (
+        ev.select("doc_id", "event_idx", "source", "class_id", "query_time")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q)
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("routed_rows"),
+            F.countDistinct("class_id").alias("distinct_classes"),
+            F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+        )
+    )
+
+
+STREAMING_QUERIES["stream_dedup"] = (q_stream_dedup, O_STREAM_ROUTE_COUNTS)
