@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "slow_digest_merge",
     "slow_bucketed_join",
     "stream_dedup",
+    "slow_checkpoint_resume",
     "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
 ]
 

@@ -203,6 +203,10 @@ def main() -> None:
         # the driver (toLocalIterator) before the scan; the scan itself is
         # the same parse kernel the flagship already benches
         timed.pop("slow_rawlog_chunked", None)
+        # crash/restart gate machinery: two full checkpointed pipeline WRITES
+        # per invocation; the write path is already benched by
+        # route_fanout_write and the parse by the flagship
+        timed.pop("slow_checkpoint_resume", None)
         for name, (fn, _) in timed.items():
             timings[name] = round(
                 _timed_min(lambda: _materialize(fn(spark, sf_dir)), q_repeats), 3

@@ -1320,6 +1320,65 @@ FROM e GROUP BY fingerprint
 EXT_QUERIES["slow_rawlog_chunked"] = (q_rawlog_chunked, O_RAWLOG_CHUNKED)
 
 
+# -- checkpointed resume: crash after one chunk, restart, digest everything ---
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume contract end-to-end through the REAL checkpoint machinery
+    (operators/checkpoint.py): the corpus is split into 3 tokens chunks, a
+    first run commits exactly ONE chunk and 'crashes' (max_chunks=1), a
+    fresh runner restarts against the same manifest and processes only the
+    pending chunks, and the digest over all committed events must equal the
+    oracle's direct full-corpus derivation — events lost at the crash point
+    or double-processed on restart flip the hash.  Mirrors the reference's
+    caller-persisted StartOffset restart (ref:log/parser/slow.go:43-49) at
+    chunk granularity."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from mysql_log_parser_spark.entry_queries import docs_from_events
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+    from mysql_log_parser_spark.operators.checkpoint import CheckpointedRunner
+
+    ind = tempfile.mkdtemp(prefix="mlp_ckpt_in_")
+    out = tempfile.mkdtemp(prefix="mlp_ckpt_out_")
+    for d in (ind, out):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    docs = docs_from_events(spark, sf_dir)
+    for i in range(3):
+        docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{ind}/c{i}.parquet")
+
+    def process(chunk_docs: DataFrame) -> DataFrame:
+        return promote_metrics(with_fingerprint(parse_slowlog(chunk_docs)))
+
+    first = CheckpointedRunner(spark, out)
+    first.run_incremental(ind, process, max_chunks=1)  # "crash" after 1 chunk
+    restarted = CheckpointedRunner(spark, out)         # fresh runner, same manifest
+    recs = restarted.run_incremental(ind, process)
+    assert len(recs) == 2, f"restart reprocessed {3 - len(recs)} committed chunks"
+    ev = restarted.events()
+    return ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+        F.sum("rows_examined").alias("rex_sum"),
+    )
+
+
+O_CHECKPOINT_RESUME = _ORACLE_EVENTS_CTE + """
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       CAST(sum(rows_examined) AS BIGINT) AS rex_sum
+FROM e GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_checkpoint_resume"] = (q_checkpoint_resume, O_CHECKPOINT_RESUME)
+
+
 # -- semantic dedup (SemDeDup-style): cluster -> within-cell near-dup -> keep --
 
 _SD_THRESH = 0.95
