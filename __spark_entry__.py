@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "stream_dedup",
     "slow_checkpoint_resume",
     "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
+    "token_id_topk",
+    "token_bigram_topk",
 ]
 
 

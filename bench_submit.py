@@ -1,0 +1,125 @@
+"""Scaling protocol through REAL `spark-submit --py-files` (north_rule form).
+
+bench_scaling.py evidences N vs 4N with in-process sessions; this harness
+runs the literal deployment shape the north_rule names — the digest job
+submitted via
+
+    spark-submit --master local[N] --py-files <pkg.zip> jobs/digest_job.py \
+        --input <tokens parquet> --output <dir> --bench-json
+
+at two parallelism levels (8 and 32 cores, the N vs 4N proxy: no real
+cluster exists in this sandbox) on the SAME prepared input, and reports
+throughput at both plus
+
+    efficiency(N -> 4N) = (events_per_sec@4N / events_per_sec@N) / 4
+
+Timing is taken INSIDE the job (digest_job --bench-json), so JVM startup
+and session bring-up are excluded — the same span bench.py times.  Min-of-R
+per leg (single-box noise control).  NB on this single box the 8 -> 32 pair
+is memory-bandwidth-bound (see bench_scaling.py docstring); 2 -> 8 is the
+compute-bound pair that meets the >= 0.8 bar.  Usage:
+
+    python bench_submit.py [sf_dir] [replicate] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def prepare(sf_dir: str, replicate: int) -> str:
+    """Materialize the tokens input once, in-process, then stop the session
+    so every submit leg starts from a cold JVM."""
+    sys.path.insert(0, REPO)
+    from bench import prepare_tokens
+    from mysql_log_parser_spark.session import build_session
+
+    spark = build_session(app_name="mlp-submit-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = prepare_tokens(spark, sf_dir, replicate)
+    spark.stop()
+    return path
+
+
+def submit_leg(cpus: int, tokens_path: str, pkg_zip: str, repeats: int) -> dict:
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        raise RuntimeError("spark-submit not on PATH")
+    best = None
+    for _ in range(repeats):
+        out_dir = f"/tmp/mlp_submit_out_{cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_CPUS", None)  # master comes from --master alone
+        proc = subprocess.run(
+            [
+                submit,
+                "--master", f"local[{cpus}]",
+                "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+                "--py-files", pkg_zip,
+                os.path.join(REPO, "jobs", "digest_job.py"),
+                "--input", tokens_path,
+                "--output", out_dir,
+                "--mode", "sketch",
+                "--bench-json",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=env,
+            cwd=REPO,
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"spark-submit leg cpus={cpus} failed (rc={proc.returncode}):\n"
+                f"{proc.stderr[-3000:]}"
+            )
+        leg = json.loads(lines[-1])
+        assert leg["master"] == f"local[{cpus}]", leg  # --master must win
+        if best is None or leg["elapsed_sec"] < best["elapsed_sec"]:
+            best = leg
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    tokens_path = prepare(sf_dir, replicate)
+    from mysql_log_parser_spark.session import package_zip
+
+    pkg = package_zip()
+    legs = {c: submit_leg(c, tokens_path, pkg, repeats) for c in (8, 32)}
+    r = {c: legs[c]["events_per_sec"] for c in legs}
+    print(
+        json.dumps(
+            {
+                "metric": "spark_submit_scaling_efficiency",
+                "value": round((r[32] / r[8]) / 4, 3),
+                "unit": "ratio",
+                "pair": "8->32 cores via spark-submit --py-files (N vs 4N)",
+                "note": "8->32 on one box is memory-bandwidth-bound "
+                "(bench_scaling.py); the compute-bound 2->8 pair is "
+                "reported by bench_scaling.py",
+                "events": legs[32]["events"],
+                "events_per_sec": {str(c): r[c] for c in legs},
+                "job_sec": {str(c): legs[c]["elapsed_sec"] for c in legs},
+                "sf": sf_dir,
+                "replicate": replicate,
+                "repeats": repeats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--routed", action="store_true")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument(
+        "--bench-json",
+        action="store_true",
+        help="print ONE JSON line {events, elapsed_sec, events_per_sec} "
+        "measured inside the job (excludes JVM/session startup) — the "
+        "spark-submit scaling protocol reads this (bench_submit.py)",
+    )
     args = ap.parse_args(argv)
     if args.raw_log and args.incremental:
         ap.error(
@@ -51,7 +58,20 @@ def main(argv: list[str] | None = None) -> None:
     from mysql_log_parser_spark.session import build_session
 
     pre_existing = SparkSession.getActiveSession() is not None
-    spark = build_session(app_name="mlp-digest-job")
+    # Token docs expand ~20x through the parse (array<int32> -> event rows):
+    # size input splits for the EXPANDED working set and keep parquet/Arrow
+    # batches small on fat array rows (measured deltas in BENCH.md).  All
+    # runtime-settable SQL confs, so they apply under spark-submit too.
+    spark = build_session(
+        app_name="mlp-digest-job",
+        # don't retune a session some host process already owns
+        extra_conf=None if pre_existing else {
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "4m",
+            "spark.sql.parquet.columnarReaderBatchSize": "256",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+        },
+    )
     admin_filter = tuple(x for x in args.filter_admin.split(",") if x)
     pipe = SlowLogPipeline(spark, admin_filter=admin_filter, mode=args.mode)
 
@@ -96,6 +116,27 @@ def main(argv: list[str] | None = None) -> None:
     )
     elapsed = time.perf_counter() - t0
 
+    if args.bench_json:
+        import json
+
+        # total event count comes from the one-row global digest just
+        # written — no extra pass over the corpus
+        total = (
+            spark.read.parquet(f"{args.output}/global_digest")
+            .select("total_queries")
+            .first()[0]
+        )
+        print(
+            json.dumps(
+                {
+                    "events": int(total),
+                    "elapsed_sec": round(elapsed, 3),
+                    "events_per_sec": round(total / elapsed, 1),
+                    "master": spark.sparkContext.master,
+                    "parallelism": spark.sparkContext.defaultParallelism,
+                }
+            )
+        )
     if args.report:
         from mysql_log_parser_spark.report import digest_report
 

@@ -1141,3 +1141,110 @@ FROM cm WHERE cum_tok <= {_CUR_BUDGET}
 O_CURATION = _o_curation()
 
 TEXTOPS_QUERIES["curation_pipeline"] = (q_curation_pipeline, O_CURATION)
+
+
+# -- 18. token-ID frequency top-K ---------------------------------------------
+
+_TOKEN_TOP = 40
+
+
+def q_token_id_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-ID frequency top-K over the input contract's
+    ``tokens array<int32>`` column (BASELINE.json input_hint) — the unigram
+    statistic a tokenizer/vocab audit runs over a training corpus.
+
+    Scale shape: explode -> groupBy(token) -> orderBy().limit(K).  Catalyst
+    plans a PARTIAL hash aggregate between the explode and the exchange, so
+    the shuffle carries at most |vocab| rows per map partition (vocab-bounded,
+    never token-count-bounded), and the limit compiles to
+    TakeOrderedAndProject — per-partition top-K plus a K-row merge, no global
+    sort.  The tokens here are the contract encoding (UTF-8 bytes as int32,
+    entry_queries.encode_tokens); on a real corpus the column is read straight
+    from the tokens table and the whole plan is JVM-side."""
+    from mysql_log_parser_spark import entry_queries as EQ
+
+    d = _docs(spark, sf_dir).select(EQ.encode_tokens("text").alias("tokens"))
+    t = d.select(F.explode("tokens").alias("token"))
+    counts = t.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_TOKEN_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        F.col("token").cast("int").alias("token"),
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# documents.text is ASCII by construction (gate-checked in
+# tests/test_textops.py), so UTF-8 byte values == codepoints and the oracle
+# can recover the token ids with unicode() per character.
+O_TOKEN_ID_TOPK = f"""
+WITH t AS (
+  SELECT unnest(list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                               c -> unicode(c))) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM t GROUP BY token
+)
+SELECT CAST(token AS INTEGER) AS token, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c
+) WHERE rank <= {_TOKEN_TOP}
+"""
+
+TEXTOPS_QUERIES["token_id_topk"] = (q_token_id_topk, O_TOKEN_ID_TOPK)
+
+
+# -- 19. token-bigram frequency top-K -----------------------------------------
+
+_BIGRAM_TOP = 30
+
+
+def q_token_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent token PAIRS over the tokens arrays (the bigram table a
+    BPE-merge or contamination audit starts from), bigram encoded as
+    ``lead_token * 256 + next_token``.
+
+    The pairing is a single Catalyst ``transform`` over a slice of the array
+    (one lambda, indexed element_at for the successor — no self-join, no
+    posexplode-and-rejoin), then the same partial-agg + TakeOrderedAndProject
+    plan as the unigram query: shuffle is bigram-vocab-bounded, final sort is
+    a K-row merge."""
+    from mysql_log_parser_spark import entry_queries as EQ
+
+    d = (
+        _docs(spark, sf_dir)
+        .select(EQ.encode_tokens("text").alias("tokens"))
+        .where(F.size("tokens") >= 2)
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tokens, 1, size(tokens) - 1),"
+                " (t, i) -> t * 256 + element_at(tokens, i + 2))"
+            )
+        ).alias("bigram")
+    )
+    counts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(_BIGRAM_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return top.select(
+        F.col("bigram").cast("int").alias("bigram"),
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+O_TOKEN_BIGRAM_TOPK = f"""
+WITH b AS (
+  SELECT unnest([unicode(text[i:i]) * 256 + unicode(text[i+1:i+1])
+                 for i in range(1, length(text))]) AS bigram
+  FROM documents WHERE length(text) >= 2
+), c AS (
+  SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+)
+SELECT CAST(bigram AS INTEGER) AS bigram, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c
+) WHERE rank <= {_BIGRAM_TOP}
+"""
+
+TEXTOPS_QUERIES["token_bigram_topk"] = (q_token_bigram_topk, O_TOKEN_BIGRAM_TOPK)

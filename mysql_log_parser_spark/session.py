@@ -44,23 +44,29 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    if master is None:
+    # Under spark-submit the driver JVM already exists and carries the
+    # --master from the submit command line (PythonRunner exports
+    # PYSPARK_GATEWAY_PORT to the user script); setting .master() here would
+    # silently override the cluster the operator asked for.  Inherit it.
+    under_submit = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not under_submit:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 64 if n == "*" else max(8, 2 * int(n))
 
+    b = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # local mode: driver == executor; default 1g heap starves the
         # vectorized parquet reader on wide array columns.  NB: oversized
         # heaps (48g) measurably DESTABILIZE this workload (G1 churns on the
         # humongous token-array vectors; run-to-run swings of 5x) — 8-16g is
         # the stable band at local[32].
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Fat array<int32> token rows: the parquet reader's default 4096-row
         # columnar batches become ~50MB vectors whose reserve/copy cycles
         # dominate the scan, and oversized Arrow batches starve the Python
@@ -77,9 +83,19 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    if shuffle_partitions is None:
+        # submit mode: size the shuffle off the cluster the submit gave us
+        # (2x total cores; AQE coalesces down, it cannot split a too-coarse
+        # map side other than via skew handling)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, 2 * spark.sparkContext.defaultParallelism)),
+        )
     # Ship the package to Python workers (equivalent of --py-files); without
     # this, mapInPandas UDFs fail to unpickle when the driver's cwd is not
     # the repo root.

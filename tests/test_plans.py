@@ -200,6 +200,30 @@ def test_vocab_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, "vocab top-K lost the distributed take"
 
 
+def test_token_topk_plans(spark):
+    """Unigram/bigram token top-K: TakeOrderedAndProject (never a global
+    window), a PARTIAL aggregate between explode and exchange (shuffle stays
+    vocab-bounded, not token-count-bounded), and no row-wise Python — the
+    only Python is the contract's Arrow-batched encoder."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_textops import (
+        q_token_bigram_topk,
+        q_token_id_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    for q in (q_token_id_topk, q_token_bigram_topk):
+        plan = _plan(q(spark, sf))
+        assert "TakeOrderedAndProject" in plan, "token top-K lost the distributed take"
+        assert "partial_count" in plan or "partial count" in plan.lower(), (
+            "map-side partial aggregate missing — shuffle would carry every token"
+        )
+        assert "BatchEvalPython" not in plan
+
+
 def test_session_scale_configs_pinned(spark):
     """The session tuning CLAUDE.md calls load-bearing must stay on: AQE
     (runtime coalescing + skew-join splitting — the north-rule's skew

@@ -61,7 +61,9 @@ def test_spark_submit_py_files(tmp_path):
     out = str(tmp_path / "out")
     job = os.path.join(os.path.dirname(__file__), "..", "jobs", "digest_job.py")
 
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_DRIVER_MEMORY="2g")
+    # SPARK_GRAFT_CPUS deliberately DISAGREES with --master: the job must
+    # inherit the submit's master, not rebuild one from the env default
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", SPARK_DRIVER_MEMORY="2g")
     res = subprocess.run(
         [
             submit,
@@ -71,6 +73,7 @@ def test_spark_submit_py_files(tmp_path):
             "--input", str(ind),
             "--output", out,
             "--mode", "sketch",
+            "--bench-json",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -79,6 +82,18 @@ def test_spark_submit_py_files(tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, res.stderr[-2000:]
+
+    # --bench-json prints ONE parseable line with in-job timing, and the
+    # job must inherit spark-submit's --master (NOT env SPARK_GRAFT_CPUS=4's
+    # default path — both say 4 here, so assert the reported master string)
+    import json
+
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, res.stdout[-2000:]
+    leg = json.loads(lines[-1])
+    assert leg["events"] == 40
+    assert leg["elapsed_sec"] > 0
+    assert leg["master"] == "local[4]"
 
     import duckdb
 

@@ -413,3 +413,40 @@ def test_lsh_arrow_plan_bounded_at_dim256(spark):
     assert len(plan) < 50_000, f"plan blew up to {len(plan)} chars"
     # the dup-free top-1 of an exact duplicate must be that duplicate
     assert df.count() > 0
+
+
+def test_token_topk_ascii_precondition_and_values(spark):
+    """token_id_topk/token_bigram_topk's DuckDB oracles recover token ids
+    via per-char unicode(), which equals the contract's UTF-8 byte encoding
+    only while the corpus is pure ASCII — gate that precondition here, and
+    check the unigram/bigram values on a tiny known corpus."""
+    import os
+
+    import duckdb
+
+    from mysql_log_parser_spark.entry_queries_textops import (
+        q_token_bigram_topk,
+        q_token_id_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    non_ascii = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE octet_length(encode(text)) != length(text)"
+    ).fetchone()[0]
+    assert non_ascii == 0, "oracle precondition broken: corpus is not ASCII"
+
+    uni = {r["token"]: r["n"] for r in q_token_id_topk(spark, sf).collect()}
+    assert uni, "empty unigram table"
+    # space is the most frequent byte in any prose-like corpus slice
+    top = q_token_id_topk(spark, sf).orderBy("rank").first()
+    assert top["rank"] == 1 and top["n"] == max(uni.values())
+
+    bi = q_token_bigram_topk(spark, sf).orderBy("rank").collect()
+    assert bi and bi[0]["rank"] == 1
+    # every bigram decodes to two valid ASCII bytes
+    for r in bi:
+        lead, nxt = divmod(r["bigram"], 256)
+        assert 0 < lead < 128 and 0 < nxt < 128
