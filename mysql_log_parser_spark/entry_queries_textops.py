@@ -1248,3 +1248,39 @@ SELECT CAST(bigram AS INTEGER) AS bigram, n, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 TEXTOPS_QUERIES["token_bigram_topk"] = (q_token_bigram_topk, O_TOKEN_BIGRAM_TOPK)
+
+
+# -- 20. heavy hitters (MG candidates + exact re-count) ------------------------
+
+_HH_TOP = 10
+_HH_K = 64
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 tokens via the two-pass heavy-hitters operator
+    (textops/heavyhitters.py): per-partition Misra-Gries candidate
+    generation, then an exact broadcast-semi-join re-count of candidates
+    only.  Hash-identical to the one-pass exact plan (the oracle), but the
+    pass-2 shuffle is candidate-bounded — the shape that survives a 10^8-
+    entry vocabulary where the one-pass plan's shuffle is vocab-bounded."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.heavyhitters import heavy_hitters_topk
+
+    d = _docs(spark, sf_dir).select(EQ.encode_tokens("text").alias("tokens"))
+    return heavy_hitters_topk(d, k_counters=_HH_K, topk=_HH_TOP)
+
+
+O_HEAVY_HITTERS = f"""
+WITH t AS (
+  SELECT unnest(list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                               c -> unicode(c))) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM t GROUP BY token
+)
+SELECT CAST(token AS INTEGER) AS token, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c
+) WHERE rank <= {_HH_TOP}
+"""
+
+TEXTOPS_QUERIES["heavy_hitters"] = (q_heavy_hitters, O_HEAVY_HITTERS)

@@ -450,3 +450,68 @@ def test_token_topk_ascii_precondition_and_values(spark):
     for r in bi:
         lead, nxt = divmod(r["bigram"], 256)
         assert 0 < lead < 128 and 0 < nxt < 128
+
+
+def test_heavy_hitters_matches_exact_on_skew(spark):
+    """Two-pass MG heavy hitters == one-pass exact top-K on a skewed corpus,
+    across multiple partitions (summaries must merge, not just one partition's
+    view); the plan must keep pass 2 a broadcast join with no row-wise
+    Python."""
+    from mysql_log_parser_spark.textops.heavyhitters import heavy_hitters_topk
+
+    # zipf-ish: token t appears ~ (40 - t)^2 times, spread over 8 partitions
+    docs = spark.range(200).repartition(8).select(
+        F.expr(
+            "flatten(transform(sequence(1, 40), "
+            "t -> array_repeat(t, CAST((41 - t) * (41 - t) / 40 AS INT))))"
+        ).alias("tokens")
+    )
+    got = heavy_hitters_topk(docs, k_counters=32, topk=5).orderBy("rank").collect()
+
+    exact = (
+        docs.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r["token"], r["n"]) for r in got] == [
+        (r["token"], r["count"]) for r in exact
+    ]
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_heavy_hitters_uncertifiable_raises(spark):
+    """Near-uniform data with k_counters too small for the threshold must
+    raise (never silently return a possibly-incomplete top-K)."""
+    from mysql_log_parser_spark.textops.heavyhitters import heavy_hitters_topk
+
+    uniform = spark.range(64).select(
+        F.expr("sequence(0, 63)").cast("array<int>").alias("tokens")
+    )
+    with pytest.raises(RuntimeError, match="cannot certify"):
+        heavy_hitters_topk(uniform, k_counters=2, topk=5)
+
+
+def test_heavy_hitters_plan_is_broadcast_recount(spark):
+    """Pass 2 must broadcast the candidate set (never shuffle the exploded
+    corpus against it) and contain no BatchEvalPython."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.heavyhitters import (
+        mg_partition_summaries,
+    )
+
+    docs = spark.range(50).select(
+        F.expr("transform(sequence(0, 30), t -> CAST(t % 7 AS INT))").alias("tokens")
+    )
+    cands = mg_partition_summaries(docs, 16).select("token").distinct()
+    joined = (
+        docs.select(F.explode("tokens").alias("token"))
+        .join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
