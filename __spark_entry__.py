@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "token_id_topk",
     "token_bigram_topk",
     "heavy_hitters",
+    "bpe_merge_step",
 ]
 
 

@@ -1284,3 +1284,70 @@ SELECT CAST(token AS INTEGER) AS token, n, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 TEXTOPS_QUERIES["heavy_hitters"] = (q_heavy_hitters, O_HEAVY_HITTERS)
+
+
+# -- 21. BPE merge step --------------------------------------------------------
+
+_BPE_NEW_ID = 256  # first id above the byte vocab
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training iteration (textops/bpe.py): pick the
+    top adjacent token pair corpus-wide (TakeOrderedAndProject; only the
+    winning pair crosses the driver), rewrite every sequence with the pair
+    collapsed to id 256 (Arrow kernel, greedy left-to-right — string-replace
+    semantics), and emit per-doc before/after lengths plus an md5 digest of
+    the merged id sequence so the oracle checks the REWRITE itself, not just
+    the counts.  The digest is JVM-side (transform + concat_ws + md5)."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.bpe import bpe_merge_step
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    merged = bpe_merge_step(d, new_id=_BPE_NEW_ID)
+    return merged.select(
+        "doc_id",
+        "n_before",
+        "n_after",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tokens_merged", lambda t: t.cast("string"))
+            )
+        ).alias("merged_md5"),
+    )
+
+
+# The oracle replays the merge with DuckDB's replace(), which is exactly the
+# greedy non-overlapping left-to-right semantics of the kernel; chr(1) is a
+# safe placeholder (min corpus byte is 32, asserted in tests).  The winning
+# pair is derived independently from the text.
+O_BPE_MERGE_STEP = f"""
+WITH b AS (
+  SELECT unnest([unicode(text[i:i]) * 256 + unicode(text[i+1:i+1])
+                 for i in range(1, length(text))]) AS bigram
+  FROM documents WHERE length(text) >= 2
+), best AS (
+  SELECT bigram FROM (
+    SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 1
+  )
+), m AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+         replace(text,
+                 chr((SELECT bigram FROM best) // 256) ||
+                 chr((SELECT bigram FROM best) % 256),
+                 chr(1)) AS merged
+  FROM documents
+)
+SELECT doc_id, n_before, CAST(length(merged) AS BIGINT) AS n_after,
+       md5(array_to_string(
+         list_transform(list_filter(string_split(merged, ''), c -> c != ''),
+                        c -> CAST(CASE WHEN unicode(c) = 1
+                                       THEN {_BPE_NEW_ID}
+                                       ELSE unicode(c) END AS VARCHAR)),
+         ',')) AS merged_md5
+FROM m
+"""
+
+TEXTOPS_QUERIES["bpe_merge_step"] = (q_bpe_merge_step, O_BPE_MERGE_STEP)

@@ -1,0 +1,125 @@
+"""Distributed BPE merge step over token arrays.
+
+One iteration of byte-pair-encoding tokenizer training, the tokens-payload
+twin of the k-means step (entry_queries_ext.q_kmeans_step): find the
+highest-frequency adjacent token pair across the corpus, then rewrite every
+sequence with the pair collapsed to a new token id.
+
+Scale shape:
+- pair selection is the bigram top-K plan (single Catalyst ``transform``
+  pairing -> partial agg -> TakeOrderedAndProject) — only the ONE winning
+  pair crosses the driver, like k-means' O(k*d) centroid state;
+- the merge itself is an Arrow-batched mapInPandas kernel: per-sequence
+  numpy match + greedy left-to-right overlap resolution (the semantics of a
+  non-overlapping global string replace, which is what every BPE trainer
+  implements), no shuffle at all — the rewrite is embarrassingly parallel.
+
+The reference has no tokenizer surface; this is a north-star operator for
+the pre-tokenized-training-sequence table the north_rule targets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def top_bigram(tokens_df: DataFrame) -> tuple[int, int, int]:
+    """Highest-frequency adjacent pair across all ``tokens`` arrays,
+    ties broken by ascending (lead, next).  Returns (lead, next, count);
+    raises if no sequence has length >= 2."""
+    pairs = tokens_df.where(F.size("tokens") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(tokens, 1, size(tokens) - 1),"
+                " (t, i) -> struct(t AS lead, element_at(tokens, i + 2) AS nxt))"
+            )
+        ).alias("p")
+    )
+    best = (
+        pairs.groupBy("p.lead", "p.nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("lead"), F.asc("nxt"))
+        .limit(1)
+        .collect()
+    )
+    if not best:
+        raise RuntimeError("top_bigram: no sequence of length >= 2 in corpus")
+    r = best[0]
+    return int(r["lead"]), int(r["nxt"]), int(r["n"])
+
+
+def apply_merge(
+    tokens_df: DataFrame, pair: tuple[int, int], new_id: int
+) -> DataFrame:
+    """Rewrite every tokens array with occurrences of `pair` collapsed to
+    `new_id`, greedy left-to-right (overlapping matches resolve exactly like
+    a non-overlapping global string replace: 'aaaa' + (a,a) -> [X, X]).
+
+    Input needs (doc_id, tokens); output is
+    (doc_id long, tokens_merged array<int>, n_before long, n_after long).
+    Arrow-batched; the only Python loop is over MATCH POSITIONS of one
+    sequence, not over tokens."""
+    import numpy as np
+
+    p1, p2 = int(pair[0]), int(pair[1])
+    nid = int(new_id)
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_tokens, out_before, out_after = [], [], []
+            for a in pdf["tokens"]:
+                a = np.asarray(a, dtype=np.int64)
+                n = len(a)
+                if n < 2:
+                    out_tokens.append(a.astype(np.int32))
+                    out_before.append(n)
+                    out_after.append(n)
+                    continue
+                cand = np.nonzero((a[:-1] == p1) & (a[1:] == p2))[0]
+                keep = []
+                last = -2
+                for i in cand:
+                    if i >= last + 2:
+                        keep.append(i)
+                        last = i
+                if not keep:
+                    out_tokens.append(a.astype(np.int32))
+                    out_before.append(n)
+                    out_after.append(n)
+                    continue
+                parts = []
+                prev = 0
+                for i in keep:
+                    parts.append(a[prev:i])
+                    parts.append(np.array([nid], dtype=np.int64))
+                    prev = i + 2
+                parts.append(a[prev:])
+                m = np.concatenate(parts)
+                out_tokens.append(m.astype(np.int32))
+                out_before.append(n)
+                out_after.append(len(m))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "tokens_merged": out_tokens,
+                    "n_before": pd.Series(out_before, dtype="int64"),
+                    "n_after": pd.Series(out_after, dtype="int64"),
+                }
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(
+        merge,
+        "doc_id long, tokens_merged array<int>, n_before long, n_after long",
+    )
+
+
+def bpe_merge_step(tokens_df: DataFrame, new_id: int) -> DataFrame:
+    """One full BPE training iteration: select the top pair, apply it.
+    Returns the apply_merge output; the chosen pair is recoverable as the
+    unique id `new_id` in the rewritten sequences."""
+    lead, nxt, _n = top_bigram(tokens_df)
+    return apply_merge(tokens_df, (lead, nxt), new_id)

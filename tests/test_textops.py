@@ -515,3 +515,56 @@ def test_heavy_hitters_plan_is_broadcast_recount(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_merge_greedy_left_to_right(spark):
+    """The merge kernel must resolve overlapping matches exactly like a
+    non-overlapping global string replace (what the DuckDB oracle replays):
+    'aaaa' + pair (a,a) -> [X, X], 'aaa' -> [X, a]."""
+    from mysql_log_parser_spark.textops.bpe import apply_merge, top_bigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, [97, 97, 97, 97]),
+            (2, [97, 97, 97]),
+            (3, [98, 97, 97, 98]),
+            (4, [99]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    # pair occurrences (sliding, overlap-counted): 3 + 2 + 1 = 6
+    assert top_bigram(docs) == (97, 97, 6)
+    got = {
+        r["doc_id"]: (list(r["tokens_merged"]), r["n_before"], r["n_after"])
+        for r in apply_merge(docs, (97, 97), 256).collect()
+    }
+    assert got[1] == ([256, 256], 4, 2)
+    assert got[2] == ([256, 97], 3, 2)
+    assert got[3] == ([98, 256, 98], 4, 3)
+    assert got[4] == ([99], 1, 1)
+
+
+def test_bpe_merge_matches_string_replace_semantics(spark):
+    """Property check on real corpus docs: per-doc n_after must equal what
+    Python's str.replace (same greedy semantics as DuckDB replace) yields."""
+    import os
+
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.bpe import bpe_merge_step, top_bigram
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    toks = docs.select("doc_id", EQ.encode_tokens("text").alias("tokens"))
+    lead, nxt, _ = top_bigram(toks)
+    pat = chr(lead) + chr(nxt)
+    expected = {
+        r["doc_id"]: len(r["text"].replace(pat, "\x01"))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: r["n_after"]
+        for r in bpe_merge_step(toks, new_id=256).collect()
+    }
+    assert got == expected
