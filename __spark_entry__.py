@@ -73,6 +73,8 @@ _VERIFY_FIRST = [
     "token_bigram_topk",
     "heavy_hitters",
     "bpe_merge_step",
+    "seq_len_histogram",
+    "bpe_train2",
 ]
 
 

@@ -1351,3 +1351,150 @@ FROM m
 """
 
 TEXTOPS_QUERIES["bpe_merge_step"] = (q_bpe_merge_step, O_BPE_MERGE_STEP)
+
+
+# -- 22. per-source sequence-length histogram ----------------------------------
+
+_SLH_WIDTH = 64
+_SLH_BUCKETS = 16
+
+
+def q_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution per source — the table a packing planner
+    (textops/sampling.sequence_pack) reads before choosing a context length:
+    fixed-width buckets of n_tok, doc/token mass per bucket, and the
+    cumulative token share (integer permille, drift-free).
+
+    Narrow until the (source, bucket) agg — a few hundred groups at ANY
+    corpus size — then a partition-bounded window (<= 16 rows per source)
+    for the cumulative share.  No driver round-trips."""
+    d = _docs(spark, sf_dir).select("source", F.col("n_chars").alias("n_tok"))
+    b = d.select(
+        "source",
+        F.least(F.floor(F.col("n_tok") / _SLH_WIDTH), F.lit(_SLH_BUCKETS - 1))
+        .cast("long")
+        .alias("bucket"),
+        "n_tok",
+    )
+    g = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+    )
+    cum = Window.partitionBy("source").orderBy("bucket")
+    tot = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "bucket",
+        "n_docs",
+        F.col("tok_sum").cast("long").alias("tok_sum"),
+        F.floor(
+            (F.sum("tok_sum").over(cum) * 1000) / F.sum("tok_sum").over(tot)
+        )
+        .cast("long")
+        .alias("cum_permille"),
+    )
+
+
+O_SEQ_LEN_HISTOGRAM = f"""
+WITH b AS (
+  SELECT source,
+         least(n_chars // {_SLH_WIDTH}, {_SLH_BUCKETS - 1}) AS bucket,
+         n_chars AS n_tok
+  FROM documents
+), g AS (
+  SELECT source, bucket, count(*) AS n_docs, sum(n_tok) AS tok_sum
+  FROM b GROUP BY source, bucket
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, n_docs,
+       CAST(tok_sum AS BIGINT) AS tok_sum,
+       CAST(floor((sum(tok_sum) OVER (PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000.0)
+                  / sum(tok_sum) OVER (PARTITION BY source)) AS BIGINT)
+         AS cum_permille
+FROM g
+"""
+
+TEXTOPS_QUERIES["seq_len_histogram"] = (q_seq_len_histogram, O_SEQ_LEN_HISTOGRAM)
+
+
+# -- 23. two-iteration BPE training -------------------------------------------
+
+
+def q_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained BPE iterations (pair -> id 256, then pair over the MERGED
+    corpus -> id 257) — the iterative-refinement twin of ann_kmeans_iter2:
+    each round's pair selection is a distributed top-1 whose single winning
+    row crosses the driver, and the intermediate corpus is persisted so the
+    round-2 selection and rewrite share one materialization instead of
+    re-running the round-1 kernel.  The oracle replays both rounds with
+    string replace()s and hash-compares the final id sequences, so a drift
+    anywhere in the chain (pair choice, overlap rule, id mapping) flips it."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.bpe import bpe_merge_step
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    m1 = (
+        bpe_merge_step(d, new_id=256)
+        .select("doc_id", F.col("tokens_merged").alias("tokens"))
+        .persist()
+    )
+    m2 = bpe_merge_step(m1, new_id=257)
+    return m2.select(
+        "doc_id",
+        F.col("n_before").alias("n1"),
+        F.col("n_after").alias("n2"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tokens_merged", lambda t: t.cast("string"))
+            )
+        ).alias("merged_md5"),
+    )
+
+
+O_BPE_TRAIN2 = """
+WITH best1 AS (
+  SELECT bigram FROM (
+    SELECT bigram, count(*) AS n FROM (
+      SELECT unnest([unicode(text[i:i])*256 + unicode(text[i+1:i+1])
+                     for i in range(1, length(text))]) AS bigram
+      FROM documents WHERE length(text) >= 2
+    ) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 1)
+), m1 AS (
+  SELECT doc_id,
+         replace(text, chr((SELECT bigram FROM best1) // 256) ||
+                       chr((SELECT bigram FROM best1) % 256), chr(1)) AS t1
+  FROM documents
+), ids1 AS (
+  SELECT doc_id, t1,
+         list_transform(list_filter(string_split(t1, ''), c -> c != ''),
+                        c -> CASE WHEN unicode(c) = 1 THEN 256
+                                  ELSE unicode(c) END) AS l
+  FROM m1
+), best2 AS (
+  SELECT bg FROM (
+    SELECT bg, count(*) AS n FROM (
+      SELECT unnest([l[i]*512 + l[i+1] for i in range(1, len(l))]) AS bg
+      FROM ids1 WHERE len(l) >= 2
+    ) GROUP BY bg ORDER BY n DESC, bg LIMIT 1)
+), pat2 AS (
+  SELECT (CASE WHEN bg // 512 = 256 THEN chr(1) ELSE chr(bg // 512) END) ||
+         (CASE WHEN bg % 512 = 256 THEN chr(1) ELSE chr(bg % 512) END) AS p
+  FROM best2
+), m2 AS (
+  SELECT doc_id, CAST(length(t1) AS BIGINT) AS n1,
+         replace(t1, (SELECT p FROM pat2), chr(2)) AS t2
+  FROM ids1
+)
+SELECT doc_id, n1, CAST(length(t2) AS BIGINT) AS n2,
+       md5(array_to_string(
+         list_transform(list_filter(string_split(t2, ''), c -> c != ''),
+                        c -> CAST(CASE WHEN unicode(c) = 1 THEN 256
+                                       WHEN unicode(c) = 2 THEN 257
+                                       ELSE unicode(c) END AS VARCHAR)),
+         ',')) AS merged_md5
+FROM m2
+"""
+
+TEXTOPS_QUERIES["bpe_train2"] = (q_bpe_train2, O_BPE_TRAIN2)
