@@ -52,6 +52,35 @@ def top_bigram(tokens_df: DataFrame) -> tuple[int, int, int]:
     return int(r["lead"]), int(r["nxt"]), int(r["n"])
 
 
+def merge_one(a, p1: int, p2: int, nid: int):
+    """Greedy left-to-right merge of one sequence (numpy int array in/out).
+    Module-level so the overlap semantics are property-testable without a
+    Spark session (tests/test_properties.py vs str.replace)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    n = len(a)
+    if n < 2:
+        return a.astype(np.int32)
+    cand = np.nonzero((a[:-1] == p1) & (a[1:] == p2))[0]
+    keep = []
+    last = -2
+    for i in cand:
+        if i >= last + 2:
+            keep.append(i)
+            last = i
+    if not keep:
+        return a.astype(np.int32)
+    parts = []
+    prev = 0
+    for i in keep:
+        parts.append(a[prev:i])
+        parts.append(np.array([nid], dtype=np.int64))
+        prev = i + 2
+    parts.append(a[prev:])
+    return np.concatenate(parts).astype(np.int32)
+
+
 def apply_merge(
     tokens_df: DataFrame, pair: tuple[int, int], new_id: int
 ) -> DataFrame:
@@ -63,8 +92,6 @@ def apply_merge(
     (doc_id long, tokens_merged array<int>, n_before long, n_after long).
     Arrow-batched; the only Python loop is over MATCH POSITIONS of one
     sequence, not over tokens."""
-    import numpy as np
-
     p1, p2 = int(pair[0]), int(pair[1])
     nid = int(new_id)
 
@@ -72,35 +99,9 @@ def apply_merge(
         for pdf in batches:
             out_tokens, out_before, out_after = [], [], []
             for a in pdf["tokens"]:
-                a = np.asarray(a, dtype=np.int64)
-                n = len(a)
-                if n < 2:
-                    out_tokens.append(a.astype(np.int32))
-                    out_before.append(n)
-                    out_after.append(n)
-                    continue
-                cand = np.nonzero((a[:-1] == p1) & (a[1:] == p2))[0]
-                keep = []
-                last = -2
-                for i in cand:
-                    if i >= last + 2:
-                        keep.append(i)
-                        last = i
-                if not keep:
-                    out_tokens.append(a.astype(np.int32))
-                    out_before.append(n)
-                    out_after.append(n)
-                    continue
-                parts = []
-                prev = 0
-                for i in keep:
-                    parts.append(a[prev:i])
-                    parts.append(np.array([nid], dtype=np.int64))
-                    prev = i + 2
-                parts.append(a[prev:])
-                m = np.concatenate(parts)
-                out_tokens.append(m.astype(np.int32))
-                out_before.append(n)
+                m = merge_one(a, p1, p2, nid)
+                out_tokens.append(m)
+                out_before.append(len(a))
                 out_after.append(len(m))
             yield pd.DataFrame(
                 {

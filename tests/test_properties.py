@@ -143,3 +143,58 @@ def test_rawlog_split_invariant(spark, tmp_path_factory, minutes, chunk_bytes):
         (r[0], r[1], r[2]) for r in df.select("file_offset", "query", "ts").collect()
     )
     assert key(chunked) == key(whole)
+
+
+# -- BPE merge kernel: greedy overlap == non-overlapping string replace -------
+
+@given(
+    st.lists(st.integers(min_value=97, max_value=99), max_size=40),
+    st.integers(min_value=97, max_value=99),
+    st.integers(min_value=97, max_value=99),
+)
+@settings(max_examples=300)
+def test_bpe_merge_one_matches_str_replace(tokens, p1, p2):
+    """merge_one must agree with str.replace (the DuckDB oracle's engine)
+    on arbitrary sequences over a 3-symbol alphabet — the densest possible
+    overlap regime, including p1 == p2 runs like 'aaaa'."""
+    from mysql_log_parser_spark.textops.bpe import merge_one
+
+    s = "".join(chr(t) for t in tokens)
+    expected = [
+        256 if c == "\x01" else ord(c)
+        for c in s.replace(chr(p1) + chr(p2), "\x01")
+    ]
+    got = list(merge_one(tokens, p1, p2, 256))
+    assert got == expected
+
+
+# -- Misra-Gries summary: superset guarantee over arbitrary streams -----------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=200)
+def test_mg_merge_superset_guarantee(stream, k):
+    """After any sequence of MG merges, every token with true frequency
+    > N/(k+1) must survive in the summary (the guarantee heavy_hitters'
+    candidate generation rests on), and the summary never exceeds k
+    entries."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_log_parser_spark.textops.heavyhitters import _mg_merge
+
+    acc = None
+    # feed in chunks of 7 to exercise the merge path, not one big batch
+    for i in range(0, len(stream), 7):
+        chunk = np.asarray(stream[i : i + 7])
+        u, c = np.unique(chunk, return_counts=True)
+        acc = _mg_merge(acc, pd.Series(c, index=u), k)
+    assert len(acc) <= k
+    n = len(stream)
+    from collections import Counter
+
+    for tok, cnt in Counter(stream).items():
+        if cnt > n / (k + 1):
+            assert tok in acc.index, (tok, cnt, n, k)
