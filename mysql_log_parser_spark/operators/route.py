@@ -88,3 +88,60 @@ def sink_counts(spark: SparkSession, base_path: str) -> DataFrame:
             F.countDistinct("class_id").alias("distinct_classes"),
         )
     )
+
+
+def compact_routed(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    records_per_file: int,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Compact a routed layout's small files: rewrite `src_path` to
+    `dst_path` with one shuffle on `source` (so each sink's rows land
+    together) and `maxRecordsPerFile` bounding file sizes.
+
+    Routed sinks accumulate small files at scale — every micro-batch or
+    incremental chunk appends its own files per partition dir, and a
+    100 TB/day stream makes listing + open costs dominate reads within
+    weeks.  Compaction is a rewrite to a NEW path (never in-place: Spark
+    cannot safely overwrite a path it is reading), swapped in by the caller
+    once the write commits — the same write-then-rename discipline as the
+    checkpoint runner (operators/checkpoint.py).
+
+    Returns per-source (files_before, files_after, rows) so callers can
+    assert the compaction actually compacted."""
+    df = spark.read.format(fmt).load(src_path)
+    (
+        df.repartition(F.col("source"))
+        .write.format(fmt)
+        .mode("overwrite")
+        .option("maxRecordsPerFile", str(int(records_per_file)))
+        .partitionBy("source")
+        .save(dst_path)
+    )
+
+    def _files_per_source(path: str) -> DataFrame:
+        d = spark.read.format(fmt).load(path)
+        return (
+            d.withColumn("_f", F.input_file_name())
+            .groupBy("source")
+            .agg(
+                F.countDistinct("_f").alias("files"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+        )
+
+    before = _files_per_source(src_path).withColumnRenamed("files", "files_before")
+    after = (
+        _files_per_source(dst_path)
+        .withColumnRenamed("files", "files_after")
+        .withColumnRenamed("rows", "rows_after")
+    )
+    return before.join(after, "source").select(
+        "source",
+        "files_before",
+        "files_after",
+        "rows",
+        (F.col("rows") == F.col("rows_after")).alias("rows_match"),
+    )

@@ -198,3 +198,39 @@ def test_merge_digest_law(spark, synth_docs):
                     assert got[k] == pytest.approx(v, rel=1e-12), (cid, k)
                 else:
                     assert got[k] == v, (cid, k)
+
+
+def test_compact_routed(spark, synth_docs, tmp_path):
+    """Compaction must shrink per-sink file counts without changing a row:
+    write the routed layout deliberately fragmented (32 shuffle partitions
+    per sink), compact to a new path, check files_after < files_before,
+    per-row content equality, and that reads of the compacted layout still
+    partition-prune."""
+    from mysql_log_parser_spark.operators.route import compact_routed
+
+    ev = SlowLogPipeline(spark).events(synth_docs)
+    src = str(tmp_path / "routed_small")
+    # fragment: repartition high before the partitioned write
+    route_partitioned(ev.repartition(32), src)
+    dst = str(tmp_path / "routed_compact")
+
+    stats = compact_routed(spark, src, dst, records_per_file=100_000).collect()
+    assert stats, "no sources compacted"
+    for r in stats:
+        assert r["rows_match"], r
+        assert r["files_after"] <= r["files_before"], r
+        assert r["files_after"] == 1, f"expected 1 file per sink at this size: {r}"
+    assert sum(r["files_before"] for r in stats) > len(stats)
+
+    a = spark.read.parquet(src).orderBy("doc_id", "event_idx").collect()
+    b = spark.read.parquet(dst).orderBy("doc_id", "event_idx").collect()
+    assert a == b
+
+    plan = (
+        spark.read.parquet(dst)
+        .where(F.col("source") == stats[0]["source"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(source" in plan
