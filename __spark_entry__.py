@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "bpe_merge_step",
     "seq_len_histogram",
     "bpe_train2",
+    "stream_heavy_hitters",
 ]
 
 

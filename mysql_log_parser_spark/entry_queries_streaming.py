@@ -254,3 +254,110 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_QUERIES["stream_dedup"] = (q_stream_dedup, O_STREAM_ROUTE_COUNTS)
+
+
+# -- streaming heavy hitters (MG state -> exact recount) -----------------------
+
+_SHH_K = 64
+_SHH_TOP = 3
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters with the candidate pass STREAMED: per-source
+    Misra-Gries summaries accumulate in bounded applyInPandasWithState
+    state over a file-source stream of the documents tokens table, then a
+    batch pass exactly re-counts only the surviving candidates (broadcast
+    semi-join) and certifies the per-source top-3 against the N/(k+1)
+    superset threshold — raising loudly rather than returning an
+    uncertified table.  The MG merge order varies with micro-batching, but
+    the certified exact top-3 is deterministic, so the standard value-hash
+    oracle applies."""
+    from pyspark.sql import Window
+
+    from mysql_log_parser_spark.streaming.stateful import running_source_token_mg
+
+    ind = _scratch_dir("mlp_stream_hh_")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", encode_tokens("text").alias("tokens"), "source")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(ind)
+    )
+    sch = spark.read.parquet(ind).schema
+    st = spark.readStream.schema(sch).parquet(ind)
+
+    name = f"mlp_shh_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_source_token_mg(st, _SHH_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q)
+
+    final = spark.table(name).groupBy("source").agg(
+        F.max_by("tokens", "n_seen").alias("tokens")
+    )
+    cands = final.select("source", F.explode("tokens").alias("token")).distinct()
+
+    toks = spark.read.parquet(ind)
+    counted = (
+        toks.select("source", F.explode("tokens").alias("token"))
+        .join(F.broadcast(cands), ["source", "token"])
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _SHH_TOP)
+        .select("source", F.col("token").cast("int").alias("token"), "n", "rank")
+    )
+    rows = top.collect()
+
+    totals = {
+        r["source"]: r["N"]
+        for r in toks.select("source", F.size("tokens").alias("s"))
+        .groupBy("source")
+        .agg(F.sum("s").alias("N"))
+        .collect()
+    }
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, n_total in totals.items():
+        rs = sorted(by_src.get(src, []), key=lambda r: r["rank"])
+        thr = n_total / (_SHH_K + 1)
+        if len(rs) < _SHH_TOP or rs[-1]["n"] <= thr:
+            raise RuntimeError(
+                f"stream_heavy_hitters cannot certify top-{_SHH_TOP} for "
+                f"source {src}: {len(rs)} rows, tail "
+                f"{rs[-1]['n'] if rs else 0} vs N/(k+1) = {thr:.1f}"
+            )
+    return spark.createDataFrame(rows, schema=top.schema)
+
+
+O_STREAM_HEAVY_HITTERS = f"""
+WITH t AS (
+  SELECT source,
+         unnest(list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                               c -> unicode(c))) AS token
+  FROM documents
+), c AS (
+  SELECT source, token, count(*) AS n FROM t GROUP BY source, token
+)
+SELECT source, CAST(token AS INTEGER) AS token, n, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT source, token, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank
+  FROM c
+) WHERE rank <= {_SHH_TOP}
+"""
+
+STREAMING_QUERIES["stream_heavy_hitters"] = (
+    q_stream_heavy_hitters,
+    O_STREAM_HEAVY_HITTERS,
+)
