@@ -234,3 +234,54 @@ def test_session_scale_configs_pinned(spark):
     assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """On a 90%-hot key, AQE must actually SPLIT the skewed partition in the
+    sort-merge join (final adaptive plan marks the join skew=true) — the
+    runtime half of the north-rule's skew story.  Timing evidence lives in
+    bench_skew.py (1.7x at 2M rows); this asserts the mechanism.
+
+    Also pinned here: when the DOWNSTREAM aggregate is keyed on the join
+    key itself, AQE refuses to split (splitting would break the required
+    hash distribution) — which is precisely the case the salted two-phase
+    digest (operators/aggregate.salted_class_digest) exists for."""
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    try:
+        ev = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise((F.col("id") % 63) + 1)
+            .alias("class_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(64).select(F.col("id").alias("class_id"))
+
+        # splittable shape: downstream agg NOT keyed on the join key
+        j = ev.join(dim, "class_id").agg(
+            F.sum(F.length("payload")).alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:2000]}"
+
+        # non-splittable shape: agg keyed on the join key — AQE must NOT
+        # split (and the engine's answer there is the salted digest)
+        j2 = ev.join(dim, "class_id").groupBy("class_id").count()
+        j2.collect()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert "skew=true" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
