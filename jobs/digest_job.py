@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> None:
             pipe.route(ev, f"{args.output}/routed")
             ev = spark.read.parquet(f"{args.output}/routed")
 
+    # metrics ride the digest write itself (observe = map-side counters on
+    # the existing action; no extra pass) — the north rule's "metrics
+    # emitted" for plain batch runs; incremental runs get theirs from the
+    # checkpoint manifest
+    from mysql_log_parser_spark.operators.metrics import observe_events
+
+    ev, obs = observe_events(ev)
     cd = class_digest(ev, mode=args.mode)
     bench_sec = None
     if args.bench_json:
@@ -146,6 +153,8 @@ def main(argv: list[str] | None = None) -> None:
                     "events_per_sec": round(total / bench_sec, 1),
                     "master": spark.sparkContext.master,
                     "parallelism": spark.sparkContext.defaultParallelism,
+                    # observed during the digest write (no extra pass)
+                    "observed": {k: v for k, v in obs.get.items()},
                 }
             )
         )

@@ -234,3 +234,23 @@ def test_compact_routed(spark, synth_docs, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_observed_metrics_ride_the_action(spark, synth_docs):
+    """observe_events counters must match direct aggregates and be readable
+    after a single action (no second scan scheduled)."""
+    from mysql_log_parser_spark.operators.metrics import observe_events
+
+    ev = SlowLogPipeline(spark).events(synth_docs)
+    observed, obs = observe_events(ev)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("query_time").cast("double")).alias("s"),
+        F.sum(F.when(F.col("admin"), 1).otherwise(0)).alias("a"),
+    ).first()
+    assert m["events"] == direct["n"]
+    assert abs(m["qt_sum"] - direct["s"]) < 1e-9
+    assert m["admin_events"] == direct["a"]
+    assert m["empty_fingerprints"] == 0

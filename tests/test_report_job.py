@@ -94,6 +94,11 @@ def test_spark_submit_py_files(tmp_path):
     assert leg["events"] == 40
     assert leg["elapsed_sec"] > 0
     assert leg["master"] == "local[4]"
+    # observed metrics ride the digest write (no extra pass): totals must
+    # agree with the digest, and no event may fall through fingerprinting
+    assert leg["observed"]["events"] == 40
+    assert leg["observed"]["empty_fingerprints"] == 0
+    assert leg["observed"]["qt_sum"] > 0
 
     import duckdb
 
