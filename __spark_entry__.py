@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "seq_len_histogram",
     "bpe_train2",
     "stream_heavy_hitters",
+    "multimodal_resize",
 ]
 
 

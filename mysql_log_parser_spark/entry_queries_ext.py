@@ -1597,3 +1597,64 @@ FROM e
 """
 
 EXT_QUERIES["slow_global_sketch"] = (q_global_sketch, O_GLOBAL_SKETCH)
+
+
+# -- multimodal resize (nearest-neighbor over opaque buffers) ------------------
+
+_RSZ_TW, _RSZ_TH = 8, 4
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize leg of the multimodal plumbing (textops/multimodal.py
+    resize_images): documents.text as the opaque grayscale buffer, per-doc
+    width/height derived deterministically, nearest-neighbor resample to
+    8x4 in the Arrow kernel.  The oracle recomputes every resampled byte
+    with the same index math (cyclic tiling + y*h//th, x*w//tw) and md5s
+    the resized buffer, so a one-pixel drift flips the hash."""
+    from mysql_log_parser_spark.textops.multimodal import resize_images
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 3 == 0
+    )
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.struct(
+            (16 + F.col("doc_id") % 7).cast("int").alias("width"),
+            (8 + F.col("doc_id") % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    out = resize_images(media, _RSZ_TW, _RSZ_TH)
+    return out.select(
+        "id",
+        F.col("meta.width").cast("long").alias("out_w"),
+        F.col("meta.height").cast("long").alias("out_h"),
+        F.lower(F.md5("data")).alias("resized_md5"),
+    )
+
+
+O_MULTIMODAL_RESIZE = f"""
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS id,
+         CAST(16 + doc_id % 7 AS BIGINT) AS w,
+         CAST(8 + doc_id % 5 AS BIGINT) AS h,
+         text
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT id,
+       CAST({_RSZ_TW} AS BIGINT) AS out_w,
+       CAST({_RSZ_TH} AS BIGINT) AS out_h,
+       lower(md5(array_to_string(
+         [text[((((i // {_RSZ_TW}) * h // {_RSZ_TH}) * w
+                 + ((i % {_RSZ_TW}) * w // {_RSZ_TW})) % length(text)) + 1
+               :((((i // {_RSZ_TW}) * h // {_RSZ_TH}) * w
+                 + ((i % {_RSZ_TW}) * w // {_RSZ_TW})) % length(text)) + 1]
+          for i in range(0, {_RSZ_TW * _RSZ_TH})],
+         ''))) AS resized_md5
+FROM m
+"""
+
+EXT_QUERIES["multimodal_resize"] = (q_multimodal_resize, O_MULTIMODAL_RESIZE)

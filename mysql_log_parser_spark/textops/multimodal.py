@@ -129,3 +129,64 @@ def synth_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
         }
         rows.append({"id": f"m{i}", "kind": kind, "data": bytearray(data), "meta": meta})
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _nearest_resize(buf: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of a row-major uint8 W x H buffer.
+    np.resize tiles/truncates the payload to exactly w*h first, so opaque
+    test payloads of any length are valid 'images' — deterministic, and
+    the index math is the real resampling a codec-backed path would do."""
+    full = np.resize(np.frombuffer(buf, dtype=np.uint8), (h, w))
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return full[ys][:, xs].tobytes()
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, decoder: str = "raw"
+) -> DataFrame:
+    """Resize the image rows of a media table to (target_w, target_h).
+
+    decoder='raw' treats `data` as an uncompressed grayscale buffer sized
+    by meta.width/height (the deterministic no-codec path this container
+    supports); decoder='pil' is the real-codec seam and raises
+    NotImplementedError until an imaging library is installed.  All the
+    Spark-side plumbing — binary in/out through Arrow batches, metadata
+    rewrite, schema stability — is real either way."""
+    if decoder == "pil":
+        raise NotImplementedError(
+            "decoder='pil': imaging libraries are not installed in this "
+            "environment; use decoder='raw'"
+        )
+    if decoder != "raw":
+        raise ValueError(f"unknown decoder {decoder!r}")
+    tw, th = int(target_w), int(target_h)
+    if tw <= 0 or th <= 0:
+        raise ValueError("target size must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                m = r["meta"]
+                w, h = int(m["width"]), int(m["height"])
+                out.append(
+                    {
+                        "id": r["id"],
+                        "kind": r["kind"],
+                        "data": bytearray(
+                            _nearest_resize(bytes(r["data"]), w, h, tw, th)
+                        ),
+                        "meta": {
+                            "width": tw,
+                            "height": th,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "kind", "data", "meta"])
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )

@@ -568,3 +568,31 @@ def test_bpe_merge_matches_string_replace_semantics(spark):
         for r in bpe_merge_step(toks, new_id=256).collect()
     }
     assert got == expected
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """resize_images: output buffers are exactly target_w*target_h bytes,
+    metadata is rewritten, non-image rows are excluded, and the resample
+    matches an independently computed nearest-neighbor reference."""
+    media = multimodal.synth_media(spark, n=9, seed=7)
+    out = {r["id"]: r for r in multimodal.resize_images(media, 8, 4).collect()}
+
+    src = {r["id"]: r for r in media.where("kind = 'image'").collect()}
+    assert set(out) == set(src) and out, "image rows must map 1:1"
+    for mid, r in out.items():
+        assert len(r["data"]) == 8 * 4
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        # reference resample in pure python
+        s = src[mid]
+        w, h = s["meta"]["width"], s["meta"]["height"]
+        buf = bytes(s["data"])
+        full = [(buf * ((w * h) // len(buf) + 1))[: w * h][y * w : (y + 1) * w] for y in range(h)]
+        expect = bytes(
+            full[y * h // 4][x * w // 8] for y in range(4) for x in range(8)
+        )
+        assert bytes(r["data"]) == expect, mid
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 8, 4, decoder="pil")
