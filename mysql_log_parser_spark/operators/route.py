@@ -145,3 +145,55 @@ def compact_routed(
         "rows",
         (F.col("rows") == F.col("rows_after")).alias("rows_match"),
     )
+
+
+def upsert_routed(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id", "event_idx"),
+) -> list[str]:
+    """Partition-scoped upsert (MERGE INTO emulation for the parquet-dir
+    layout; an Iceberg deployment gets this natively and the call sites are
+    identical): rows in `updates` replace same-key rows and append new keys,
+    touching ONLY the `source` partitions that appear in `updates` — every
+    other sink's files stay byte-identical, so downstream consumers of
+    untouched sinks see no new snapshot.
+
+    Mechanics: read only the affected partitions (partition pruning),
+    anti-join out the updated keys, union the updates, write to a staging
+    dir, then swap each affected partition dir via rename — the checkpoint
+    runner's write-temp-then-rename discipline (operators/checkpoint.py),
+    because Spark cannot overwrite a path it is reading.  Returns the list
+    of rewritten partition values."""
+    import shutil
+    import uuid
+
+    srcs = sorted(
+        r["source"] for r in updates.select("source").distinct().collect()
+    )
+    if not srcs:
+        return []
+    current = spark.read.parquet(base_path).where(F.col("source").isin(srcs))
+    keys = [c for c in key_cols]
+    merged = current.join(
+        updates.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+    ).unionByName(updates)
+
+    stage = f"{base_path}_stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("source").parquet(stage)
+    for src in srcs:
+        src_dir = os.path.join(stage, f"source={src}")
+        dst_dir = os.path.join(base_path, f"source={src}")
+        if os.path.isdir(dst_dir):  # brand-new sources have no dir to retire
+            tmp_old = dst_dir + ".old"
+            os.rename(dst_dir, tmp_old)
+            os.rename(src_dir, dst_dir)
+            shutil.rmtree(tmp_old, ignore_errors=True)
+        else:
+            os.rename(src_dir, dst_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    # drop any cached file listings for the swapped partitions — readers
+    # created before the upsert would otherwise chase renamed-away files
+    spark.catalog.refreshByPath(base_path)
+    return srcs

@@ -254,3 +254,53 @@ def test_observed_metrics_ride_the_action(spark, synth_docs):
     assert abs(m["qt_sum"] - direct["s"]) < 1e-9
     assert m["admin_events"] == direct["a"]
     assert m["empty_fingerprints"] == 0
+
+
+def test_upsert_routed_touches_only_affected_partitions(spark, synth_docs, tmp_path):
+    """MERGE INTO emulation: updated keys replaced, new keys appended, and
+    the files of every UNAFFECTED sink stay byte-identical (same paths,
+    sizes, mtimes) — consumers of untouched sinks see no new snapshot."""
+    import os
+
+    from mysql_log_parser_spark.operators.route import upsert_routed
+
+    ev = SlowLogPipeline(spark).events(synth_docs)
+    base = str(tmp_path / "routed")
+    route_partitioned(ev, base)
+
+    def snapshot(src):
+        d = os.path.join(base, f"source={src}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+        }
+
+    srcs = sorted(r.source for r in ev.select("source").distinct().collect())
+    target, untouched = srcs[0], srcs[1:]
+    before_untouched = {s: snapshot(s) for s in untouched}
+
+    # update one existing row (bump query_time) and insert one new key;
+    # materialize the key row BEFORE the upsert renames its file away
+    one = spark.read.parquet(base).where(F.col("source") == target).limit(1)
+    key = one.first()
+    one = spark.createDataFrame([key], schema=one.schema)
+    upd_existing = one.withColumn("query_time", F.lit(999.0))
+    upd_new = one.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("_new")))
+    updates = upd_existing.unionByName(upd_new)
+
+    rewritten = upsert_routed(spark, base, updates)
+    assert rewritten == [target]
+
+    after = spark.read.parquet(base)
+    got = after.where(
+        (F.col("doc_id") == key["doc_id"]) & (F.col("event_idx") == key["event_idx"])
+    ).collect()
+    assert len(got) == 1 and got[0]["query_time"] == 999.0, "key not replaced"
+    assert (
+        after.where(F.col("doc_id") == key["doc_id"] + "_new").count() == 1
+    ), "new key not appended"
+    # total rows: original + 1 inserted
+    assert after.count() == ev.count() + 1
+
+    for s in untouched:
+        assert snapshot(s) == before_untouched[s], f"sink {s} was rewritten"
