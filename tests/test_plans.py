@@ -285,3 +285,27 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_round3_queries_no_rowwise_python(spark):
+    """Every new lazy gate query this round keeps Python out of the row
+    path: Arrow kernels (ArrowEvalPython / MapInPandas) are the only
+    Python, never BatchEvalPython."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
+    from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    lazy_new = ["bpe_merge_step", "seq_len_histogram", "token_id_topk",
+                "token_bigram_topk"]
+    reg = dict(TEXTOPS_QUERIES)
+    reg.update(EXT_QUERIES)
+    for name in lazy_new:
+        plan = _plan(reg[name][0](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+    # multimodal_resize: kernel is mapInPandas by design
+    plan = _plan(reg["multimodal_resize"][0](spark, sf))
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
