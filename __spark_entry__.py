@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "bpe_train2",
     "stream_heavy_hitters",
     "multimodal_resize",
+    "line_boilerplate",
 ]
 
 

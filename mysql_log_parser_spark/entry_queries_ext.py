@@ -1658,3 +1658,93 @@ FROM m
 """
 
 EXT_QUERIES["multimodal_resize"] = (q_multimodal_resize, O_MULTIMODAL_RESIZE)
+
+
+# -- line-level boilerplate removal (C4/RefinedWeb-style) ----------------------
+
+_BP_FRAC = 0.9
+
+
+def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal over the rendered corpus: any line present
+    in >= 90% of docs (here, the constant `# Time:` header and the hot
+    User@Host lines) is dropped from every doc, preserving the order of
+    what remains — the C4/RefinedWeb line-dedup step, over THIS engine's
+    own rendered slow-log text.
+
+    Scale shape: posexplode -> per-line distinct-doc frequency (partial
+    agg, line-vocab-bounded shuffle) -> broadcast anti-join of the tiny
+    boilerplate set -> per-doc reassembly (collect_list bounded by doc
+    size, same bound as sequence packing).  The oracle re-renders all four
+    line forms per event from the events table with printf and replays the
+    filter with list ops, so a one-character render drift flips the hash."""
+    from mysql_log_parser_spark.entry_queries import docs_from_events
+
+    docs = docs_from_events(spark, sf_dir)
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).where(F.col("line") != "")
+    total = docs.count()
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= _BP_FRAC * total)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(bp), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("cleaned_md5"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", "\n"), lambda l: l != "")).cast("long").alias(
+            "n_lines"
+        ),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+    )
+
+
+O_LINE_BOILERPLATE = _ORACLE_EVENTS_CTE + f"""
+, ll AS (
+  SELECT doc_id, event_id,
+         ['# Time: 240101 10:00:00',
+          '# User@Host: ' || usr || '[' || usr || '] @ ' || host || ' []',
+          printf('# Query_time: %.6f  Lock_time: 0.000000 Rows_sent: %d  Rows_examined: %d',
+                 qt, rows_sent, rows_examined),
+          query || ';'] AS ls
+  FROM e
+), dl AS (
+  SELECT doc_id, flatten(list(ls ORDER BY event_id)) AS lines
+  FROM ll GROUP BY doc_id
+), lf AS (
+  SELECT line, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(lines) AS line FROM dl) GROUP BY line
+), bp AS (
+  SELECT coalesce(list(line), []) AS bl
+  FROM lf WHERE df >= {_BP_FRAC} * (SELECT count(*) FROM dl)
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(lines, x -> NOT list_contains(bl, x)))
+            AS BIGINT) AS n_kept,
+       md5(array_to_string(
+         list_filter(lines, x -> NOT list_contains(bl, x)),
+         chr(10))) AS cleaned_md5
+FROM dl, bp
+"""
+
+EXT_QUERIES["line_boilerplate"] = (q_line_boilerplate, O_LINE_BOILERPLATE)
