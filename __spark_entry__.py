@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "stream_heavy_hitters",
     "multimodal_resize",
     "line_boilerplate",
+    "word_commonness",
 ]
 
 

@@ -1498,3 +1498,77 @@ FROM m2
 """
 
 TEXTOPS_QUERIES["bpe_train2"] = (q_bpe_train2, O_BPE_TRAIN2)
+
+
+# -- 24. vocabulary-commonness score (CCNet-style unigram filter) --------------
+
+
+def q_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc vocabulary commonness — the unigram core of a CCNet-style
+    LM quality filter: score = mean document-frequency share of the doc's
+    words, i.e. (sum of per-word df) / (n_words * total_docs), emitted in
+    integer permille from exact-integer operands (one IEEE division of
+    exact ints, floored — bit-identical across engines, unlike summed
+    float log-probs).  Low = rare-vocab doc
+    (gibberish/special content candidate), high = common prose.
+
+    Scale shape: word df is a vocab-bounded partial-agg table joined back
+    onto the exploded words (AQE picks broadcast while the vocab fits,
+    shuffle beyond), then one per-doc agg.  No driver round-trips except
+    the O(1) doc count."""
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(words_of(F.col("text"))).alias("word")
+    )
+    dfreq = (
+        words.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    joined = words.join(dfreq, "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("df").alias("df_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("df_sum").cast("long").alias("df_sum"),
+            ((F.col("df_sum") * 1000) / (F.col("n_words") * F.lit(total)))
+            .cast("long")
+            .alias("common_permille"),
+        )
+    )
+
+
+# NB Spark's integer `/` promotes to double, so the cast("long") above
+# truncates the double ratio; mirror with floor() in DuckDB (values are
+# exact small rationals, both engines see the same double).
+O_WORD_COMMONNESS = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+), dfq AS (
+  SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w)
+  GROUP BY word
+), j AS (
+  SELECT w.doc_id, dfq.df FROM w JOIN dfq USING (word)
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(df) AS BIGINT) AS df_sum,
+       CAST(floor((sum(df) * 1000.0)
+                  / (count(*) * (SELECT count(*) FROM documents))) AS BIGINT)
+         AS common_permille
+FROM j GROUP BY doc_id
+"""
+
+TEXTOPS_QUERIES["word_commonness"] = (q_word_commonness, O_WORD_COMMONNESS)
