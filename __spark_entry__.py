@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "multimodal_resize",
     "line_boilerplate",
     "word_commonness",
+    "slow_window_topk",
 ]
 
 

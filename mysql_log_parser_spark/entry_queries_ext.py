@@ -1748,3 +1748,58 @@ FROM dl, bp
 """
 
 EXT_QUERIES["line_boilerplate"] = (q_line_boilerplate, O_LINE_BOILERPLATE)
+
+
+# -- windowed top-K classes (ranked tumbling windows) --------------------------
+
+_WTOP_K = 3
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K query classes per 5-minute event-time tumbling window — the
+    ranked flavor of slow_window_agg (what a dashboard's 'top queries per
+    interval' panel runs).  Per-(window, class) counts aggregate with
+    map-side partials; the rank window is partitioned BY WINDOW, so each
+    partition holds at most |classes| rows — never a global exchange.
+    Admin commands are excluded (they carry no statement class)."""
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+
+    ev = (
+        with_fingerprint(ext_parsed_events(spark, sf_dir))
+        .where(~F.col("admin"))
+        .withColumn("ts_parsed", F.to_timestamp("ts", "yyMMdd H:mm:ss"))
+    )
+    counts = ev.groupBy(
+        F.window("ts_parsed", "5 minutes").alias("w"), "fingerprint"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    bucket = F.floor(F.minute("w.start") / 5).cast("long")
+    ranked = counts.select(bucket.alias("bucket"), "fingerprint", "n").withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            W.partitionBy("bucket").orderBy(F.desc("n"), F.asc("fingerprint"))
+        )
+        .cast("long"),
+    )
+    return ranked.where(F.col("rank") <= _WTOP_K)
+
+
+O_WINDOW_TOPK = f"""
+WITH e AS (
+  SELECT CAST((event_id % 60) // 5 AS BIGINT) AS bucket,
+         'select c from t_' || event_type || ' where id=?' AS fingerprint
+  FROM events WHERE event_id % 17 != 0
+), c AS (
+  SELECT bucket, fingerprint, count(*) AS n FROM e GROUP BY bucket, fingerprint
+)
+SELECT bucket, fingerprint, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT bucket, fingerprint, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, fingerprint) AS rank
+  FROM c
+) WHERE rank <= {_WTOP_K}
+"""
+
+EXT_QUERIES["slow_window_topk"] = (q_window_topk, O_WINDOW_TOPK)
