@@ -300,7 +300,8 @@ def test_round3_queries_no_rowwise_python(spark):
     if not os.path.isdir(sf):
         pytest.skip("driver testdata not available")
     lazy_new = ["bpe_merge_step", "seq_len_histogram", "token_id_topk",
-                "token_bigram_topk"]
+                "token_bigram_topk", "slow_window_topk", "line_boilerplate",
+                "word_commonness"]
     reg = dict(TEXTOPS_QUERIES)
     reg.update(EXT_QUERIES)
     for name in lazy_new:
