@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "line_boilerplate",
     "word_commonness",
     "slow_window_topk",
+    "ngram_novelty",
 ]
 
 

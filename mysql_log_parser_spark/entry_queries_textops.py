@@ -1572,3 +1572,80 @@ FROM j GROUP BY doc_id
 """
 
 TEXTOPS_QUERIES["word_commonness"] = (q_word_commonness, O_WORD_COMMONNESS)
+
+
+# -- 25. n-gram novelty (memorization-risk / diversity signal) -----------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of word trigrams that are corpus-UNIQUE (global
+    frequency 1) — the inverse of the memorization-risk signal near-dup
+    pipelines rank by: a doc whose trigrams all re-occur elsewhere is
+    boilerplate-ish; one that is mostly unique is novel.  Exact integer
+    permille (floored IEEE ratio of exact ints, same discipline as
+    word_commonness).
+
+    Scale shape: trigram extraction is one Catalyst transform over the
+    word-array slice (no self-join); the global frequency table aggregates
+    with map-side partials (trigram-vocab-bounded shuffle) and joins back
+    onto the exploded trigrams; one per-doc agg finishes.  Docs with fewer
+    than 3 words have no trigram row on either side."""
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", words_of(F.col("text")).alias("ws")
+    ).where(F.size("ws") >= 3)
+    tris = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 2),"
+                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
+                " element_at(ws, i + 3)))"
+            )
+        ).alias("tri"),
+    )
+    freq = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
+    j = tris.join(freq, "tri")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            F.col("n_unique").cast("long").alias("n_unique"),
+            F.floor((F.col("n_unique") * 1000) / F.col("n_tri"))
+            .cast("long")
+            .alias("novel_permille"),
+        )
+    )
+
+
+O_NGRAM_NOVELTY = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]) AS tri
+  FROM w WHERE len(ws) >= 3
+), f AS (
+  SELECT tri, count(*) AS n FROM t GROUP BY tri
+), j AS (
+  SELECT t.doc_id, f.n FROM t JOIN f USING (tri)
+)
+SELECT doc_id,
+       count(*) AS n_tri,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000.0 / count(*))
+            AS BIGINT) AS novel_permille
+FROM j GROUP BY doc_id
+"""
+
+TEXTOPS_QUERIES["ngram_novelty"] = (q_ngram_novelty, O_NGRAM_NOVELTY)
