@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "word_commonness",
     "slow_window_topk",
     "ngram_novelty",
+    "source_overlap",
 ]
 
 

@@ -1649,3 +1649,80 @@ FROM j GROUP BY doc_id
 """
 
 TEXTOPS_QUERIES["ngram_novelty"] = (q_ngram_novelty, O_NGRAM_NOVELTY)
+
+
+# -- 26. cross-source overlap matrix (leakage audit) ---------------------------
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for each ordered source pair (a, b),
+    the share of a's DISTINCT word trigrams that also occur in b — the
+    audit a curation pipeline runs before declaring two sources (or a train
+    and a held-out split) independent.  Exact integer permille.
+
+    Scale shape: the distinct (source, trigram) table is at most
+    |sources| x |trigram vocab| rows regardless of corpus size; the
+    self-join on trigram and both aggregations run with map-side partials.
+    The corpus itself is never self-joined."""
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    d = _docs(spark, sf_dir).select(
+        "source", words_of(F.col("text")).alias("ws")
+    ).where(F.size("ws") >= 3)
+    st = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 2),"
+                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
+                " element_at(ws, i + 3)))"
+            )
+        ).alias("tri"),
+    ).distinct()
+    base = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tri"))
+    a = st.select(F.col("source").alias("source_a"), "tri")
+    b = st.select(F.col("source").alias("source_b"), "tri")
+    inter = (
+        a.join(b, "tri")
+        .where(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return inter.join(
+        base.withColumnRenamed("source", "source_a"), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.floor((F.col("n_shared") * 1000) / F.col("n_tri"))
+        .cast("long")
+        .alias("share_permille"),
+    )
+
+
+O_SOURCE_OVERLAP = """
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+), st AS (
+  SELECT DISTINCT source,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]) AS tri
+  FROM w WHERE len(ws) >= 3
+), base AS (
+  SELECT source, count(*) AS n_tri FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM st a JOIN st b USING (tri)
+  WHERE a.source != b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor(n_shared * 1000.0 / base.n_tri) AS BIGINT) AS share_permille
+FROM inter JOIN base ON base.source = inter.source_a
+"""
+
+TEXTOPS_QUERIES["source_overlap"] = (q_source_overlap, O_SOURCE_OVERLAP)
