@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "slow_window_topk",
     "ngram_novelty",
     "source_overlap",
+    "prefix_dup_groups",
 ]
 
 

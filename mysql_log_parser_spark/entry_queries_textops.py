@@ -1726,3 +1726,76 @@ FROM inter JOIN base ON base.source = inter.source_a
 """
 
 TEXTOPS_QUERIES["source_overlap"] = (q_source_overlap, O_SOURCE_OVERLAP)
+
+
+# -- 27. prefix-bucket duplicate candidates ------------------------------------
+
+_PFX_WORDS = 8
+
+
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-candidate groups by shared document PREFIX (first 8
+    words) — the cheap bucketing pass web-scale dedup runs before any
+    pairwise verification (boilerplate openers, mirrored pages, templated
+    docs all collide here).  Injects the same deterministic id-shifted
+    copies the other dedup gates use so the corpus has collisions to find.
+
+    Scale shape: one narrow projection to the prefix key, one partial-agg
+    groupBy (prefix-cardinality-bounded shuffle), group membership bounded
+    by bucket size.  Emits (prefix_md5, n_docs, ids_md5) — ids sorted so
+    the digest is order-stable."""
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" tail variation")).alias("text"),
+    )
+    d = base.unionByName(dupes).select(
+        "doc_id", words_of(F.col("text")).alias("ws")
+    ).where(F.size("ws") >= _PFX_WORDS)
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("ws", 1, _PFX_WORDS))).alias("prefix_md5"),
+    )
+    return (
+        keyed.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_md5"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+O_PREFIX_DUP_GROUPS = f"""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text || ' tail variation'
+  FROM documents WHERE doc_id % 11 = 0
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS ws
+  FROM c
+), k AS (
+  SELECT doc_id, md5(array_to_string(ws[1:{_PFX_WORDS}], ' ')) AS prefix_md5
+  FROM w WHERE len(ws) >= {_PFX_WORDS}
+)
+SELECT prefix_md5,
+       count(*) AS n_docs,
+       md5(array_to_string(list_transform(list_sort(list(doc_id)),
+                                          x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+FROM k GROUP BY prefix_md5 HAVING count(*) > 1
+"""
+
+TEXTOPS_QUERIES["prefix_dup_groups"] = (q_prefix_dup_groups, O_PREFIX_DUP_GROUPS)
