@@ -83,6 +83,7 @@ _VERIFY_FIRST = [
     "ngram_novelty",
     "source_overlap",
     "prefix_dup_groups",
+    "slow_user_agg",
 ]
 
 

@@ -391,3 +391,29 @@ QUERIES = {
     "slow_top_classes": (q_top_classes, O_TOP_CLASSES),
     "slow_histogram": (q_histogram, O_HISTOGRAM),
 }
+
+
+def q_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, host) activity digest — pt-query-digest's --group-by
+    user view over this engine's events: event count, Query_time mass,
+    distinct query classes touched.  Same partial-agg shuffle shape as the
+    class digest, keyed on the user dimension instead."""
+    ev = parsed_events(spark, sf_dir)
+    return ev.groupBy(F.col("user").alias("usr"), "host").agg(
+        F.count(F.lit(1)).alias("total_queries"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+        F.countDistinct("class_id").alias("distinct_classes"),
+        F.max(F.col("rows_examined")).alias("rex_max"),
+    )
+
+
+O_USER_AGG = _ORACLE_EVENTS_CTE + """
+SELECT usr, host,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       count(DISTINCT upper(substr(md5(fingerprint), 17, 16))) AS distinct_classes,
+       CAST(max(rows_examined) AS BIGINT) AS rex_max
+FROM e GROUP BY usr, host
+"""
+
+QUERIES["slow_user_agg"] = (q_user_agg, O_USER_AGG)
