@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "source_overlap",
     "prefix_dup_groups",
     "slow_user_agg",
+    "tokens_roundtrip",
 ]
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1799,3 +1801,42 @@ FROM k GROUP BY prefix_md5 HAVING count(*) > 1
 """
 
 TEXTOPS_QUERIES["prefix_dup_groups"] = (q_prefix_dup_groups, O_PREFIX_DUP_GROUPS)
+
+
+# -- 28. token codec round-trip gate -------------------------------------------
+
+
+def q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate on the input-table codec (tokenizer.py): text ->
+    int32 token array (the table contract) -> decoded text, hashed — the
+    oracle hashes the ORIGINAL text, so any lossiness anywhere in the
+    encode/decode pair (truncation, signedness, codepoint handling) flips
+    the hash.  One Arrow pass each way, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.tokenizer import decode_batch
+
+    @pandas_udf(StringType())
+    def decode_udf(tokens: pd.Series) -> pd.Series:
+        return pd.Series(decode_batch(tokens))
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.md5(decode_udf("tokens")).alias("text_md5"),
+    )
+
+
+O_TOKENS_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_tok,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+TEXTOPS_QUERIES["tokens_roundtrip"] = (q_tokens_roundtrip, O_TOKENS_ROUNDTRIP)
