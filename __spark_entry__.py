@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "prefix_dup_groups",
     "slow_user_agg",
     "tokens_roundtrip",
+    "slow_db_capture",
 ]
 
 

@@ -1803,3 +1803,69 @@ SELECT bucket, fingerprint, n, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 EXT_QUERIES["slow_window_topk"] = (q_window_topk, O_WINDOW_TOPK)
+
+
+# -- F4 gate: use-db capture through the real parser ---------------------------
+
+
+def q_db_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the use-db capture (operators/parse.py:374-391, ref
+    slow.go:245-267): every 5th event carries a `use db_<k>;` line before
+    its statement, which the parser must consume as that EVENT's db (not
+    part of the query, no carry-over), while all other events keep an
+    empty db.  Exercises the full render -> tokens -> parse path."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    txt = F.concat(
+        F.lit("# Time: 240101 10:00:00\n"),
+        F.format_string(
+            "# User@Host: u%d[u%d] @ h%d []\n",
+            F.col("user_id") % 8, F.col("user_id") % 8, F.col("user_id") % 4,
+        ),
+        F.format_string(
+            "# Query_time: %.6f  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n",
+            F.round(F.col("value") * 64) / 64,
+        ),
+        F.when(eid % 5 == 0, F.format_string("use db_%d;\n", eid % 3)).otherwise(
+            F.lit("")
+        ),
+        F.format_string(
+            "SELECT c FROM t_%s WHERE id=%d;\n", F.col("event_type"), eid
+        ),
+    )
+    per = ev.select(
+        F.floor(eid / EVENTS_PER_DOC).cast("long").alias("dnum"),
+        eid.alias("event_id"),
+        txt.alias("txt"),
+    )
+    docs = per.groupBy("dnum").agg(
+        F.concat(F.lit("d"), F.col("dnum").cast("string")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "txt"))),
+                lambda x: x["txt"],
+            ),
+            "",
+        ).alias("text"),
+        F.concat(F.lit("s"), (F.col("dnum") % 4).cast("string")).alias("source"),
+    ).drop("dnum")
+    parsed = parse_slowlog(docs)
+    return parsed.select(
+        "doc_id",
+        F.col("event_idx").cast("long").alias("event_idx"),
+        "db",
+        "query",
+    )
+
+
+O_DB_CAPTURE = f"""
+SELECT 'd' || CAST(event_id // {EVENTS_PER_DOC} AS VARCHAR) AS doc_id,
+       CAST(event_id % {EVENTS_PER_DOC} AS BIGINT) AS event_idx,
+       CASE WHEN event_id % 5 = 0 THEN 'db_' || CAST(event_id % 3 AS VARCHAR)
+            ELSE '' END AS db,
+       'SELECT c FROM t_' || event_type || ' WHERE id=' ||
+         CAST(event_id AS VARCHAR) AS query
+FROM events
+"""
+
+EXT_QUERIES["slow_db_capture"] = (q_db_capture, O_DB_CAPTURE)
