@@ -86,6 +86,7 @@ _VERIFY_FIRST = [
     "slow_user_agg",
     "tokens_roundtrip",
     "slow_db_capture",
+    "slow_set_skip",
 ]
 
 

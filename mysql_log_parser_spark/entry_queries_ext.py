@@ -1869,3 +1869,63 @@ FROM events
 """
 
 EXT_QUERIES["slow_db_capture"] = (q_db_capture, O_DB_CAPTURE)
+
+
+# -- F3 gate: SET-variable line skip ------------------------------------------
+
+
+def q_set_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the SET-variable skip (operators/parse.py:372-375, ref
+    slow.go:249-253): every 7th event carries a `SET timestamp=...;` line
+    before its statement; the parser must drop it so the event's query is
+    exactly the SELECT — if a SET line leaks into any query string the
+    value hash flips."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    txt = F.concat(
+        F.lit("# Time: 240101 10:00:00\n"),
+        F.lit("# User@Host: u[u] @ h []\n"),
+        F.format_string(
+            "# Query_time: %.6f  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n",
+            F.round(F.col("value") * 64) / 64,
+        ),
+        F.when(eid % 7 == 0, F.format_string("SET timestamp=%d;\n", eid)).otherwise(
+            F.lit("")
+        ),
+        F.format_string(
+            "SELECT c FROM t_%s WHERE id=%d;\n", F.col("event_type"), eid
+        ),
+    )
+    per = ev.select(
+        F.floor(eid / EVENTS_PER_DOC).cast("long").alias("dnum"),
+        eid.alias("event_id"),
+        txt.alias("txt"),
+    )
+    docs = per.groupBy("dnum").agg(
+        F.concat(F.lit("d"), F.col("dnum").cast("string")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "txt"))),
+                lambda x: x["txt"],
+            ),
+            "",
+        ).alias("text"),
+        F.lit("s0").alias("source"),
+    ).drop("dnum")
+    parsed = parse_slowlog(docs)
+    return parsed.select(
+        "doc_id",
+        F.col("event_idx").cast("long").alias("event_idx"),
+        "query",
+    )
+
+
+O_SET_SKIP = f"""
+SELECT 'd' || CAST(event_id // {EVENTS_PER_DOC} AS VARCHAR) AS doc_id,
+       CAST(event_id % {EVENTS_PER_DOC} AS BIGINT) AS event_idx,
+       'SELECT c FROM t_' || event_type || ' WHERE id=' ||
+         CAST(event_id AS VARCHAR) AS query
+FROM events
+"""
+
+EXT_QUERIES["slow_set_skip"] = (q_set_skip, O_SET_SKIP)
