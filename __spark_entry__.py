@@ -87,6 +87,7 @@ _VERIFY_FIRST = [
     "tokens_roundtrip",
     "slow_db_capture",
     "slow_set_skip",
+    "slow_sliding_window",
 ]
 
 

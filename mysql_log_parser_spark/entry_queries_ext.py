@@ -1929,3 +1929,38 @@ FROM events
 """
 
 EXT_QUERIES["slow_set_skip"] = (q_set_skip, O_SET_SKIP)
+
+
+# -- sliding (overlapping) event-time windows ----------------------------------
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows sliding every minute — the overlapping-window
+    variant of slow_window_agg (rate smoothing / trailing-rate panels).
+    Each event lands in exactly 5 windows; Spark's window() expands
+    map-side and the counts aggregate with partials, so the shuffle grows
+    5x in rows but stays bucket-bounded after partial aggregation.  The
+    oracle replays the expansion with a list comprehension."""
+    ev = ext_parsed_events(spark, sf_dir).withColumn(
+        "ts_parsed", F.to_timestamp("ts", "yyMMdd H:mm:ss")
+    )
+    agg = ev.groupBy(
+        F.window("ts_parsed", "5 minutes", "1 minute").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+    )
+    bucket = (F.hour("w.start") * 60 + F.minute("w.start")).cast("long")
+    return agg.select(bucket.alias("bucket"), "events", "qt_sum")
+
+
+O_SLIDING_WINDOW = _ORACLE_EXT_CTE + """
+, x AS (
+  SELECT CAST(600 + mm - k AS BIGINT) AS bucket, qt
+  FROM e, unnest([0, 1, 2, 3, 4]) AS t(k)
+)
+SELECT bucket, count(*) AS events, sum(qt) AS qt_sum
+FROM x GROUP BY bucket
+"""
+
+EXT_QUERIES["slow_sliding_window"] = (q_sliding_window, O_SLIDING_WINDOW)
