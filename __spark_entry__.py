@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "slow_db_capture",
     "slow_set_skip",
     "slow_sliding_window",
+    "slow_user_sketch",
 ]
 
 

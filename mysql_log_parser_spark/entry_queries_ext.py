@@ -1964,3 +1964,38 @@ FROM x GROUP BY bucket
 """
 
 EXT_QUERIES["slow_sliding_window"] = (q_sliding_window, O_SLIDING_WINDOW)
+
+
+# -- per-class distinct-user sketch (second grouping level for the HLL gate) ---
+
+
+def q_user_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct USERS per query class, exact + HLL-in-band — the audience
+    dimension of a class digest ('how many distinct principals run this
+    query shape').  Same exact-bounds-plus-boolean gate as the per-sink
+    sketch, at class grouping; at scale only the sketch runs and the
+    per-class state stays O(1)."""
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+
+    ev = with_fingerprint(ext_parsed_events(spark, sf_dir)).where(~F.col("admin"))
+    agg = ev.groupBy("fingerprint").agg(
+        F.countDistinct("user").alias("exact_users"),
+        F.approx_count_distinct("user", rsd=_HLL_RSD).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "fingerprint",
+        "exact_users",
+        (err <= 3 * _HLL_RSD).alias("hll_in_bounds"),
+    )
+
+
+O_USER_DISTINCT_SKETCH = """
+SELECT 'select c from t_' || event_type || ' where id=?' AS fingerprint,
+       count(DISTINCT 'u' || CAST(user_id % 8 AS VARCHAR)) AS exact_users,
+       CAST(TRUE AS BOOLEAN) AS hll_in_bounds
+FROM events WHERE NOT (event_id % 17 = 0)
+GROUP BY event_type
+"""
+
+EXT_QUERIES["slow_user_sketch"] = (q_user_distinct_sketch, O_USER_DISTINCT_SKETCH)
