@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "slow_set_skip",
     "slow_sliding_window",
     "slow_user_sketch",
+    "slow_event_offsets",
 ]
 
 

@@ -1999,3 +1999,48 @@ GROUP BY event_type
 """
 
 EXT_QUERIES["slow_user_sketch"] = (q_user_distinct_sketch, O_USER_DISTINCT_SKETCH)
+
+
+# -- S2 gate: per-event byte offsets -------------------------------------------
+
+
+def q_event_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the byte-offset bookkeeping (operators/parse.py:132-153,
+    ref slow.go:87-100 incl the documented +1 quirk): the parser's per-event
+    `offset` must equal the byte position of the event's first header line,
+    +1 when nonzero.  The oracle reconstructs every event's rendered byte
+    length with printf and prefix-sums them per doc — a drift in any line's
+    rendering or in the quirk flips the hash."""
+    ev = parsed_events(spark, sf_dir)
+    return ev.select(
+        "doc_id",
+        F.col("event_idx").cast("long").alias("event_idx"),
+        F.col("offset").cast("long").alias("offset"),
+    )
+
+
+O_EVENT_OFFSETS = f"""
+WITH t AS (
+  SELECT 'd' || CAST(event_id // {EVENTS_PER_DOC} AS VARCHAR) AS doc_id,
+         CAST(event_id % {EVENTS_PER_DOC} AS BIGINT) AS event_idx,
+         event_id,
+         length('# Time: 240101 10:00:00' || chr(10)
+           || printf('# User@Host: u%d[u%d] @ h%d []',
+                     user_id % 8, user_id % 8, user_id % 4) || chr(10)
+           || printf('# Query_time: %.6f  Lock_time: 0.000000 Rows_sent: %d  Rows_examined: %d',
+                     round(value*64)/64, user_id % 100, event_id % 1000) || chr(10)
+           || printf('SELECT c FROM t_%s WHERE id=%d;', event_type, event_id)
+           || chr(10)) AS elen
+  FROM events
+), s AS (
+  SELECT doc_id, event_idx,
+         coalesce(sum(elen) OVER (PARTITION BY doc_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM t
+)
+SELECT doc_id, event_idx,
+       CAST(CASE WHEN st = 0 THEN 0 ELSE st + 1 END AS BIGINT) AS offset
+FROM s
+"""
+
+EXT_QUERIES["slow_event_offsets"] = (q_event_offsets, O_EVENT_OFFSETS)
