@@ -141,7 +141,14 @@ def read_raw_slowlog(
     sizes = {}
     for p in paths:
         sizes[p] = store.size(p)
-        specs.extend(chunk_specs(p, chunk_bytes, sizes[p]))
+        if p.endswith(".gz"):
+            # gzip streams cannot be byte-range split: one whole-file task.
+            # A rotated-logs directory still parallelizes ACROSS its .gz
+            # files; only intra-file parallelism is lost (inherent to gzip —
+            # recompress to a splittable codec to regain it).
+            specs.append((p, 0, 0, sizes[p]))
+        else:
+            specs.extend(chunk_specs(p, chunk_bytes, sizes[p]))
     specs = [
         (p, i, s, e) for i, (p, _, s, e) in enumerate(specs)
     ]  # globally unique chunk ids across files
@@ -153,6 +160,21 @@ def read_raw_slowlog(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                if r.path.endswith(".gz"):
+                    import gzip
+
+                    buf = gzip.decompress(
+                        store.read_range(r.path, 0, sizes[r.path])
+                    )
+                    rows.append(
+                        {
+                            "doc_id": f"{r.chunk_id}@0",
+                            "text": buf.decode("utf-8", errors="replace"),
+                            "source": source if source is not None
+                            else os.path.basename(r.path),
+                        }
+                    )
+                    continue
                 # read one prefix byte so a boundary line starting EXACTLY at
                 # r.start is still seen as newline-preceded by this chunk
                 prefix = 0 if r.start == 0 else 1

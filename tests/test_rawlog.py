@@ -175,3 +175,40 @@ def test_fake_remote_store_range_reads(spark, tmp_path):
         for r in ev.select("source").distinct().collect()}
         assert set(per) == {"a.log", "b.log"}
         assert per["a.log"] == want and per["b.log"] == want, chunk_bytes
+
+
+def test_gzipped_rotated_logs(spark, tmp_path):
+    """A rotated-logs directory mixing plain and .gz files: gzip members are
+    parsed as whole-file tasks (gzip cannot be range-split), plain members
+    keep byte-range chunking, every event lands exactly once with its own
+    file's basename as source."""
+    import gzip
+
+    from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
+
+    def render(lo, hi):
+        return "".join(
+            f"# Time: 240101 10:{i % 60:02d}:00\n"
+            f"# User@Host: u[u] @ h []\n"
+            f"# Query_time: {i}.250000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+            f"SELECT c FROM t{i % 3} WHERE id={i};\n"
+            for i in range(lo, hi)
+        )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "slow.log").write_text(render(0, 40))
+    (d / "slow.log.1.gz").write_bytes(gzip.compress(render(40, 70).encode()))
+
+    ev = read_raw_slowlog(spark, str(d), chunk_bytes=1 << 10)
+    rows = ev.select("source", "query").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["query"])
+    assert set(by_src) == {"slow.log", "slow.log.1.gz"}
+    assert len(by_src["slow.log"]) == 40
+    assert len(by_src["slow.log.1.gz"]) == 30
+    ids = {
+        int(q.rsplit("=", 1)[1]) for qs in by_src.values() for q in qs
+    }
+    assert ids == set(range(70)), "events lost or duplicated across members"
