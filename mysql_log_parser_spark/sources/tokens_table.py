@@ -46,11 +46,26 @@ class TokensTable:
     spark: SparkSession
     location: str  # parquet dir, or catalog.db.table for Iceberg
 
-    def read(self, min_tokens: int | None = None, sources: list[str] | None = None) -> DataFrame:
+    def read(
+        self,
+        min_tokens: int | None = None,
+        sources: list[str] | None = None,
+        fmt: str = "parquet",
+    ) -> DataFrame:
+        """`fmt` selects the batch file format for dir-backed layouts:
+        parquet (default), orc, or json (JSON-lines interchange dumps).
+        The explicit schema applies to all three — json would otherwise
+        infer doubles for the token ids — but only the columnar formats
+        give real pushdown/pruning; json reads the full row, so convert
+        interchange drops to parquet before any at-scale run."""
         if _has_iceberg(self.spark, self.location):
             df = self.spark.read.format("iceberg").load(self.location)
         else:
-            df = self.spark.read.schema(TOKENS_SCHEMA).parquet(self.location)
+            df = (
+                self.spark.read.schema(TOKENS_SCHEMA)
+                .format(fmt)
+                .load(self.location)
+            )
         missing = {f.name for f in TOKENS_SCHEMA} - set(df.columns)
         if missing:
             raise ValueError(f"tokens table missing columns: {sorted(missing)}")

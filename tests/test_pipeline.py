@@ -304,3 +304,33 @@ def test_upsert_routed_touches_only_affected_partitions(spark, synth_docs, tmp_p
 
     for s in untouched:
         assert snapshot(s) == before_untouched[s], f"sink {s} was rewritten"
+
+
+def test_tokens_table_json_and_orc_formats(spark, synth_docs, tmp_path):
+    """The tokens source reads the same contract from JSON-lines and ORC
+    layouts: digests computed over each format must equal the parquet
+    baseline row-for-row (json needs the explicit schema — inference would
+    type token ids as doubles)."""
+    from mysql_log_parser_spark.operators.aggregate import class_digest
+    from mysql_log_parser_spark.sources.tokens_table import TokensTable
+
+    pq = str(tmp_path / "pq")
+    js = str(tmp_path / "js")
+    oc = str(tmp_path / "oc")
+    synth_docs.write.parquet(pq)
+    synth_docs.write.json(js)
+    synth_docs.write.orc(oc)
+
+    def digest(path, fmt):
+        ev = SlowLogPipeline(spark).events(TokensTable(spark, path).read(fmt=fmt))
+        return sorted(
+            (r["class_id"], r["total_queries"], r["query_time_sum"])
+            for r in class_digest(ev, mode="sketch")
+            .select("class_id", "total_queries", "query_time_sum")
+            .collect()
+        )
+
+    base = digest(pq, "parquet")
+    assert base
+    assert digest(js, "json") == base
+    assert digest(oc, "orc") == base
