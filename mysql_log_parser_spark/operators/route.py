@@ -164,8 +164,10 @@ def upsert_routed(
     anti-join out the updated keys, union the updates, write to a staging
     dir, then swap each affected partition dir via rename — the checkpoint
     runner's write-temp-then-rename discipline (operators/checkpoint.py),
-    because Spark cannot overwrite a path it is reading.  Returns the list
-    of rewritten partition values."""
+    because Spark cannot overwrite a path it is reading.  The retired
+    partition is kept as `<dir>.old` until its replacement is in place, so
+    a crash mid-swap leaves the data recoverable, never half-gone.
+    Returns the list of rewritten partition values."""
     import shutil
     import uuid
 

@@ -141,6 +141,9 @@ def read_raw_slowlog(
     sizes = {}
     for p in paths:
         sizes[p] = store.size(p)
+        if sizes[p] == 0:
+            continue  # empty rotation artifacts: nothing to own, and
+            # gzip.decompress would reject an empty member outright
         if p.endswith(".gz"):
             # gzip streams cannot be byte-range split: one whole-file task.
             # A rotated-logs directory still parallelizes ACROSS its .gz
@@ -152,6 +155,11 @@ def read_raw_slowlog(
     specs = [
         (p, i, s, e) for i, (p, _, s, e) in enumerate(specs)
     ]  # globally unique chunk ids across files
+    if not specs:  # every file was empty: a valid, zero-event read
+        empty = spark.createDataFrame(
+            [], "doc_id string, text string, source string"
+        )
+        return parse_slowlog(empty, admin_filter=admin_filter)
     sdf = spark.createDataFrame(
         specs, "path string, chunk_id long, start long, end long"
     ).repartition(len(specs))

@@ -212,3 +212,28 @@ def test_gzipped_rotated_logs(spark, tmp_path):
         int(q.rsplit("=", 1)[1]) for qs in by_src.values() for q in qs
     }
     assert ids == set(range(70)), "events lost or duplicated across members"
+
+
+def test_empty_and_all_empty_log_files(spark, tmp_path):
+    """Zero-byte rotation artifacts must be skipped (gzip.decompress rejects
+    an empty member), and an all-empty directory is a valid zero-event
+    read, not a crash."""
+    import gzip
+
+    from mysql_log_parser_spark.sources.rawlog import read_raw_slowlog
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "slow.log").write_text(
+        "# Time: 240101 10:00:00\n# User@Host: u[u] @ h []\n"
+        "# Query_time: 1.250000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+        "SELECT c FROM t0 WHERE id=1;\n"
+    )
+    (d / "slow.log.1.gz").write_bytes(b"")
+    (d / "slow.log.2").write_text("")
+    assert read_raw_slowlog(spark, str(d)).count() == 1
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    (e / "a.log").write_text("")
+    assert read_raw_slowlog(spark, str(e)).count() == 0
