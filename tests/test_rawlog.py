@@ -237,3 +237,38 @@ def test_empty_and_all_empty_log_files(spark, tmp_path):
     e.mkdir()
     (e / "a.log").write_text("")
     assert read_raw_slowlog(spark, str(e)).count() == 0
+
+
+def test_rawlog_scanner_matches_direct_parse_on_reference_fixtures(spark, tmp_path):
+    """Ingestion-path parity on the REFERENCE's own fixture logs: the
+    byte-range scanner (tiny chunks, forcing cuts inside events) must
+    produce exactly the events a direct whole-file parse does — same
+    queries, same metrics, same per-event fields."""
+    import os
+    import shutil
+
+    ref = "/root/reference/test/logs"
+    if not os.path.isdir(ref):
+        pytest.skip("reference fixtures not available")
+    for name in ("slow001.log", "slow010.log", "slow015.log"):
+        src = os.path.join(ref, name)
+        if not os.path.exists(src):
+            continue
+        p = tmp_path / name
+        shutil.copy(src, p)
+
+        direct = parse_slowlog(
+            spark.createDataFrame(
+                [(name, open(src, encoding="utf-8", errors="replace").read(), name)],
+                "doc_id string, text string, source string",
+            )
+        )
+        # slow015 carries a single ~80 KB event: overlap must exceed the
+        # largest event (the loud-failure contract tested elsewhere)
+        chunked = read_raw_slowlog(spark, str(p), chunk_bytes=256, overlap=1 << 17)
+
+        cols = ["query", "user", "host", "db", "ts", "admin"]
+        d = sorted(tuple(r) for r in direct.select(*cols).collect())
+        c = sorted(tuple(r) for r in chunked.select(*cols).collect())
+        assert c == d, f"{name}: scanner diverged from direct parse"
+        assert len(d) > 0 or name == "empty.log"
