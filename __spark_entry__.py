@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "slow_sliding_window",
     "slow_user_sketch",
     "slow_event_offsets",
+    "slow_rate_corrected",
 ]
 
 

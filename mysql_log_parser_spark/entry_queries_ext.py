@@ -2044,3 +2044,40 @@ FROM s
 """
 
 EXT_QUERIES["slow_event_offsets"] = (q_event_offsets, O_EVENT_OFFSETS)
+
+
+# -- rate-limit-corrected class counts (pt-query-digest sampling math) ---------
+
+
+def q_rate_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-corrected traffic estimates: when the server logs only 1/N
+    sessions (Log_slow_rate_limit = N), observed per-class counts
+    understate true traffic by ~N — pt-query-digest multiplies through.
+    Per (source, class): observed count, the sink's rate limit, and the
+    corrected estimate observed * N.  Fails loudly upstream if a sink
+    carries MIXED rate limits (slow_rate_limit_check gates that)."""
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+
+    ev = with_fingerprint(ext_parsed_events(spark, sf_dir)).where(~F.col("admin"))
+    return ev.groupBy("source", "fingerprint").agg(
+        F.count(F.lit(1)).alias("observed"),
+        F.min("rate_limit").cast("long").alias("rate_limit"),
+        (F.count(F.lit(1)) * F.min("rate_limit")).cast("long").alias("corrected"),
+    )
+
+
+O_RATE_CORRECTED = _ORACLE_EXT_CTE + """
+, f AS (
+  SELECT source, rl,
+         'select c from t_' || event_type || ' where id=?' AS fingerprint
+  FROM e JOIN events USING (event_id)
+  WHERE NOT is_admin
+)
+SELECT source, fingerprint,
+       count(*) AS observed,
+       CAST(min(rl) AS BIGINT) AS rate_limit,
+       CAST(count(*) * min(rl) AS BIGINT) AS corrected
+FROM f GROUP BY source, fingerprint
+"""
+
+EXT_QUERIES["slow_rate_corrected"] = (q_rate_corrected, O_RATE_CORRECTED)
