@@ -1662,7 +1662,11 @@ EXT_QUERIES["multimodal_resize"] = (q_multimodal_resize, O_MULTIMODAL_RESIZE)
 
 # -- line-level boilerplate removal (C4/RefinedWeb-style) ----------------------
 
-_BP_FRAC = 0.9
+# Threshold as an exact integer ratio (df/total >= 9/10 evaluated as
+# 10*df >= 9*total): a float 0.9*total product can round off the exact
+# value right at the boundary and disagree with an engine evaluating the
+# same threshold in DECIMAL — integer arithmetic is identical everywhere.
+_BP_NUM, _BP_DEN = 9, 10
 
 
 def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1688,7 +1692,7 @@ def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = (
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= _BP_FRAC * total)
+        .where(F.col("df") * _BP_DEN >= _BP_NUM * total)
         .select("line")
     )
     kept = lines.join(F.broadcast(bp), "line", "left_anti")
@@ -1735,7 +1739,7 @@ O_LINE_BOILERPLATE = _ORACLE_EVENTS_CTE + f"""
   FROM (SELECT doc_id, unnest(lines) AS line FROM dl) GROUP BY line
 ), bp AS (
   SELECT coalesce(list(line), []) AS bl
-  FROM lf WHERE df >= {_BP_FRAC} * (SELECT count(*) FROM dl)
+  FROM lf WHERE df * {_BP_DEN} >= {_BP_NUM} * (SELECT count(*) FROM dl)
 )
 SELECT doc_id,
        CAST(len(lines) AS BIGINT) AS n_lines,

@@ -167,7 +167,13 @@ def upsert_routed(
     because Spark cannot overwrite a path it is reading.  The retired
     partition is kept as `<dir>.old` until its replacement is in place, so
     a crash mid-swap leaves the data recoverable, never half-gone.
-    Returns the list of rewritten partition values."""
+    Returns the list of rewritten partition values.
+
+    The MERGE is scoped PER PARTITION: `source` is always part of the
+    anti-join keys (appended if absent from `key_cols`), so the same
+    (doc_id, event_idx) living in two affected source partitions updates
+    each partition's own row — without this, one source's update would
+    delete the other source's row and re-insert only its own."""
     import shutil
     import uuid
 
@@ -178,6 +184,8 @@ def upsert_routed(
         return []
     current = spark.read.parquet(base_path).where(F.col("source").isin(srcs))
     keys = [c for c in key_cols]
+    if "source" not in keys:
+        keys.append("source")
     merged = current.join(
         updates.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
     ).unionByName(updates)

@@ -101,14 +101,30 @@ def heavy_hitters_topk(
     # set, so the exact top-K over candidates equals the global top-K iff
     # the K-th candidate count clears that threshold.  K+1 rows of driver
     # state; the corpus never leaves the executors.
+    #
+    # Fewer than topk result rows is NOT automatically a failure: a corpus
+    # with fewer than topk distinct tokens yields an exact, complete result.
+    # That case is certified by comparing against the exact distinct-token
+    # count — a vocab-bounded fallback job that only ever runs in this
+    # degenerate branch (at scale, with k_counters sized properly, the
+    # result always has topk rows and the threshold certificate applies).
     total = tokens_df.select(F.sum(F.size("tokens")).alias("N")).first()["N"] or 0
     rows = out.orderBy("rank").collect()
     threshold = total / (k_counters + 1)
-    if total and (len(rows) < topk or rows[-1]["n"] <= threshold):
-        tail = rows[-1]["n"] if rows else 0
+    if total and len(rows) == topk and rows[-1]["n"] <= threshold:
         raise RuntimeError(
-            f"heavy_hitters_topk cannot certify top-{topk}: got {len(rows)} "
-            f"candidate rows, tail count {tail} vs N/(k+1) = {threshold:.1f}; "
+            f"heavy_hitters_topk cannot certify top-{topk}: tail count "
+            f"{rows[-1]['n']} vs N/(k+1) = {threshold:.1f}; "
             f"raise k_counters (got {k_counters})"
         )
+    if total and len(rows) < topk:
+        n_distinct = exploded.select(
+            F.countDistinct("token").alias("d")
+        ).first()["d"]
+        if n_distinct != len(rows):
+            raise RuntimeError(
+                f"heavy_hitters_topk cannot certify top-{topk}: only "
+                f"{len(rows)} candidate rows but {n_distinct} distinct "
+                f"tokens; raise k_counters (got {k_counters})"
+            )
     return spark.createDataFrame(rows, schema=out.schema)

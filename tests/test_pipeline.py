@@ -306,6 +306,38 @@ def test_upsert_routed_touches_only_affected_partitions(spark, synth_docs, tmp_p
         assert snapshot(s) == before_untouched[s], f"sink {s} was rewritten"
 
 
+def test_upsert_routed_scopes_merge_per_source(spark, tmp_path):
+    """The same (doc_id, event_idx) key living in TWO affected source
+    partitions must merge independently per partition: updating source a's
+    row while touching source b with an unrelated row must NOT delete b's
+    copy of the shared key (the anti-join is scoped by source)."""
+    from mysql_log_parser_spark.operators.route import route_partitioned, upsert_routed
+
+    schema = "doc_id string, event_idx long, query_time double, source string"
+    base_rows = [
+        ("d1", 0, 1.0, "a"),
+        ("d1", 0, 2.0, "b"),  # same key, different sink
+        ("d2", 0, 3.0, "b"),
+    ]
+    base = str(tmp_path / "routed")
+    route_partitioned(spark.createDataFrame(base_rows, schema), base)
+
+    updates = spark.createDataFrame(
+        [("d1", 0, 10.0, "a"), ("d2", 0, 30.0, "b")], schema
+    )
+    assert upsert_routed(spark, base, updates) == ["a", "b"]
+
+    got = {
+        (r["doc_id"], r["source"]): r["query_time"]
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got == {
+        ("d1", "a"): 10.0,  # updated
+        ("d1", "b"): 2.0,   # untouched — the bug deleted this row
+        ("d2", "b"): 30.0,  # updated
+    }
+
+
 def test_tokens_table_json_and_orc_formats(spark, synth_docs, tmp_path):
     """The tokens source reads the same contract from JSON-lines and ORC
     layouts: digests computed over each format must equal the parquet

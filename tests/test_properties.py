@@ -152,7 +152,7 @@ def test_rawlog_split_invariant(spark, tmp_path_factory, minutes, chunk_bytes):
     st.integers(min_value=97, max_value=99),
     st.integers(min_value=97, max_value=99),
 )
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)  # first call pays numpy lazy import
 def test_bpe_merge_one_matches_str_replace(tokens, p1, p2):
     """merge_one must agree with str.replace (the DuckDB oracle's engine)
     on arbitrary sequences over a 3-symbol alphabet — the densest possible
@@ -174,7 +174,7 @@ def test_bpe_merge_one_matches_str_replace(tokens, p1, p2):
     st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=300),
     st.integers(min_value=2, max_value=8),
 )
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)  # first call pays pandas lazy paths
 def test_mg_merge_superset_guarantee(stream, k):
     """After any sequence of MG merges, every token with true frequency
     > N/(k+1) must survive in the summary (the guarantee heavy_hitters'

@@ -494,6 +494,22 @@ def test_heavy_hitters_uncertifiable_raises(spark):
         heavy_hitters_topk(uniform, k_counters=2, topk=5)
 
 
+def test_heavy_hitters_small_vocab_is_exact_not_error(spark):
+    """A corpus with fewer distinct tokens than topk is exact and complete —
+    it must certify (returning all distinct tokens, correctly ranked), not
+    raise just because the result has fewer than topk rows."""
+    from mysql_log_parser_spark.textops.heavyhitters import heavy_hitters_topk
+
+    docs = spark.range(20).repartition(4).select(
+        F.expr("array(CAST(1 AS INT), CAST(1 AS INT), CAST(2 AS INT), "
+               "CAST(3 AS INT))").alias("tokens")
+    )
+    got = heavy_hitters_topk(docs, k_counters=8, topk=5).orderBy("rank").collect()
+    assert [(r["token"], r["n"], r["rank"]) for r in got] == [
+        (1, 40, 1), (2, 20, 2), (3, 20, 3),
+    ]
+
+
 def test_heavy_hitters_plan_is_broadcast_recount(spark):
     """Pass 2 must broadcast the candidate set (never shuffle the exploded
     corpus against it) and contain no BatchEvalPython."""
