@@ -299,10 +299,16 @@ def semantic_dedup_pairs(
     vec_col: str = "v",
     cell_cap: int | None = None,
     round_to: int | None = 6,
+    kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) candidate stage: coarse centroid cells
     bound the candidate set, exact cosine within a cell yields semantic
     near-dup pairs (id_a < id_b).
+
+    `kernel` is the cell-assignment implementation (see
+    similarity.with_nearest_centroid): 'auto' keeps the oracle-replicable
+    Catalyst literal fold at small k*d and switches to the Arrow matmul
+    kernel at production cell counts (k ~ sqrt(N) per the contract below).
 
     Scale contract: the per-cell self-join is O(sum |cell|^2), so the CELL
     COUNT must grow with the corpus — k ~ sqrt(N) keeps expected cell size
@@ -326,7 +332,7 @@ def semantic_dedup_pairs(
     )
 
     cells = with_nearest_centroid(
-        emb.select(id_col, vec_col), centroids, vec_col=vec_col
+        emb.select(id_col, vec_col), centroids, vec_col=vec_col, kernel=kernel
     ).withColumn("_nrm", norm(F.col(vec_col)))
     if cell_cap is not None:
         counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_cell_n"))
@@ -376,13 +382,15 @@ def semantic_dedup_components(
     iters: int = 2,
     cell_cap: int | None = None,
     round_to: int | None = 6,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Full SemDeDup decision: cell-bounded near-dup pairs -> bounded
     min-label propagation -> one canonical survivor per semantic cluster
     (keep = id == component).  See semantic_dedup_pairs for the scale
-    contract (k grows with N; cell_cap fails loudly)."""
+    contract (k grows with N; cell_cap fails loudly; kernel switches the
+    cell assignment to the Arrow matmul form at production k)."""
     pairs = semantic_dedup_pairs(
-        emb, centroids, threshold, id_col, vec_col, cell_cap, round_to
+        emb, centroids, threshold, id_col, vec_col, cell_cap, round_to, kernel
     )
     return components_from_pairs(pairs, emb, id_col=id_col, iters=iters)
 

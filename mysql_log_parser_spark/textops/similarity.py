@@ -103,16 +103,76 @@ def centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
     return F.transform(m, lambda c: dot(vec, c))
 
 
-def with_nearest_centroid(
+def centroid_cells_arrow(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "v",
     out_col: str = "cell",
 ) -> DataFrame:
-    """Append argmax-dot centroid cell (ties to the smallest index).  The
-    dot array is materialized in its own projection first: Catalyst HOFs are
-    interpreted and never CSE'd, so referencing the fold from both
-    array_position and array_max directly would evaluate it twice."""
+    """argmax-dot centroid cell via ONE Arrow-batched pandas_udf: a numpy
+    (batch x d) @ (d x k) matmul + argmax per batch, so the physical plan
+    carries a single constant-size ArrowEvalPython node — no O(k*d) literal
+    tree — and per-row cost is a BLAS matmul instead of an interpreted fold.
+    The scale path for production cell counts (SemDeDup's k ~ sqrt(N) means
+    10^4-10^5 cells at d >= 768, where a literal tree is not viable).
+
+    A scalar pandas_udf (ArrowEvalPython) rather than mapInPandas on
+    purpose: the UDF touches only `vec_col`, so projection pruning and the
+    rest of the row's codegen pipeline survive; mapInPandas would funnel
+    every column through Arrow.
+
+    Tie-breaking matches the Catalyst kernel exactly (np.argmax returns the
+    FIRST maximum = array_position of array_max).  For arbitrary floats a
+    dot within one ulp of a tie may assign differently (BLAS vs
+    left-to-right summation) — same caveat as hyperplane_signatures_arrow;
+    cells are coarse buckets and downstream cosine checks are exact."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    C = np.asarray(centroids, dtype=np.float64)  # k x d
+
+    @pandas_udf(LongType())
+    def cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(np.argmax(m @ C.T, axis=1).astype(np.int64))
+
+    return df.withColumn(out_col, cell(vec_col))
+
+
+# Past this many literal matrix entries the Catalyst nested-literal kernels
+# switch to the Arrow matmul form (same threshold for centroids and
+# hyperplanes): below it the literal tree is small and stays oracle-
+# replicable in plain SQL; above it expression size and interpreted-fold
+# cost grow with k*d while the Arrow plan stays constant-size.
+_ARROW_LITERAL_SWITCH = 8192
+
+
+def with_nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "cell",
+    kernel: str = "auto",
+) -> DataFrame:
+    """Append argmax-dot centroid cell (ties to the smallest index).
+
+    `kernel` picks the implementation: 'catalyst' (nested-literal fold,
+    oracle-replicable in plain SQL — the dot array is materialized in its
+    own projection first because Catalyst HOFs are interpreted and never
+    CSE'd, so referencing the fold from both array_position and array_max
+    directly would evaluate it twice), 'arrow' (one pandas_udf matmul —
+    constant plan size, the path for production k; see
+    centroid_cells_arrow), or 'auto' (arrow once the centroid matrix
+    passes ~8k literals)."""
+    if kernel == "auto":
+        k = len(centroids)
+        d = len(centroids[0]) if k else 0
+        kernel = "arrow" if k * d >= _ARROW_LITERAL_SWITCH else "catalyst"
+    if kernel == "arrow":
+        return centroid_cells_arrow(df, centroids, vec_col, out_col)
     dotted = df.withColumn("_dots", centroid_dots(F.col(vec_col), centroids))
     cell = (F.array_position("_dots", F.array_max("_dots")) - 1).cast("long")
     return dotted.withColumn(out_col, cell).drop("_dots")
@@ -217,7 +277,11 @@ def cosine_topk_lsh(
     constant plan size, the path for production embedding widths), or
     'auto' (arrow once the plane matrix passes ~8k literals)."""
     if kernel == "auto":
-        kernel = "arrow" if dim * n_planes * n_tables >= 8192 else "catalyst"
+        kernel = (
+            "arrow"
+            if dim * n_planes * n_tables >= _ARROW_LITERAL_SWITCH
+            else "catalyst"
+        )
 
     def with_sigs(df: DataFrame) -> DataFrame:
         if kernel == "arrow":

@@ -415,6 +415,89 @@ def test_lsh_arrow_plan_bounded_at_dim256(spark):
     assert df.count() > 0
 
 
+def test_centroid_arrow_kernel_matches_catalyst(spark):
+    """Integer-valued vectors make every centroid dot exactly representable,
+    so the Arrow matmul cell assignment must equal the Catalyst literal-fold
+    assignment bit-for-bit — including first-index tie-breaking — at a
+    production-ish k=256, d=64."""
+    import hashlib
+    import random
+
+    from mysql_log_parser_spark.textops.similarity import with_nearest_centroid
+
+    k, dim = 256, 64
+    # integer centroids in [-3, 3] from md5 (deterministic, exact dots)
+    cents = [
+        [
+            float(int(hashlib.md5(f"cc{c}d{j}".encode()).hexdigest()[:4], 16) % 7 - 3)
+            for j in range(dim)
+        ]
+        for c in range(k)
+    ]
+    rnd = random.Random(11)
+    rows = [(i, [float(rnd.randint(-3, 3)) for _ in range(dim)]) for i in range(60)]
+    # duplicate centroid 0 at index 5 so at least the exact-centroid vector
+    # exercises the first-max tie-break
+    cents[5] = list(cents[0])
+    rows.append((999, list(cents[0])))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    res = lambda kern: {  # noqa: E731
+        r["vec_id"]: r["cell"]
+        for r in with_nearest_centroid(emb, cents, kernel=kern).collect()
+    }
+    cat, arr = res("catalyst"), res("arrow")
+    assert cat == arr
+    assert cat[999] == 0, "tie must break to the first (smallest) index"
+
+
+def test_centroid_arrow_plan_bounded_at_k256(spark):
+    """k=256 x d=64 is ~16k literals in the Catalyst tree; the auto-selected
+    Arrow kernel must keep the plan to one constant-size ArrowEvalPython
+    node (scalar pandas_udf — projection survives) with no literal blowup
+    and no row-wise Python."""
+    from mysql_log_parser_spark.textops.similarity import with_nearest_centroid
+
+    k, dim = 256, 64
+    cents = [[float((c * 31 + j) % 7 - 3) for j in range(dim)] for c in range(k)]
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: ((F.col("id") * 17 + j) % 5 - 2).cast("double"),
+        ).alias("v"),
+    )
+    df = with_nearest_centroid(emb, cents)  # kernel='auto' -> arrow at 16k
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert len(plan) < 50_000, f"plan blew up to {len(plan)} chars"
+    assert df.count() == 30
+
+
+def test_semantic_dedup_agrees_across_kernels(spark, emb):
+    """The full SemDeDup decision (pairs -> components -> keep) must be
+    identical through the Catalyst and Arrow cell-assignment kernels at the
+    gate parameters."""
+    from mysql_log_parser_spark.entry_queries_ext import _SD_CAP, _SD_K, _centroid_literals
+    from mysql_log_parser_spark.textops.dedup import semantic_dedup_components
+
+    e = _emb_double(emb)
+    dup = e.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    corpus = e.unionByName(dup)
+    cents = _centroid_literals(_SD_K)
+
+    res = lambda kern: sorted(  # noqa: E731
+        (r["vec_id"], r["component"], r["keep"])
+        for r in semantic_dedup_components(
+            corpus, cents, iters=2, cell_cap=_SD_CAP, kernel=kern
+        ).collect()
+    )
+    assert res("catalyst") == res("arrow")
+
+
 def test_token_topk_ascii_precondition_and_values(spark):
     """token_id_topk/token_bigram_topk's DuckDB oracles recover token ids
     via per-char unicode(), which equals the contract's UTF-8 byte encoding
