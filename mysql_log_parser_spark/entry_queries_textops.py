@@ -1730,6 +1730,86 @@ FROM inter JOIN base ON base.source = inter.source_a
 TEXTOPS_QUERIES["source_overlap"] = (q_source_overlap, O_SOURCE_OVERLAP)
 
 
+# -- 26b. sketched source overlap (KMV) ---------------------------------------
+
+_KMV_K = 256
+# Absolute error band on the containment FRACTION: KMV Jaccard std error is
+# ~1/sqrt(k) (~0.0625 at k=256) and the containment estimate compounds the
+# union and per-source cardinality estimators, so the gate allows 3x that.
+_KMV_BAND = 0.2
+
+
+def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`source_overlap` through the per-source KMV trigram sketch
+    (textops/kmv.py) — the 100 TB path where the exact distinct
+    (source, trigram) relation is too large to shuffle per audit.
+
+    Gate pattern (as slow_distinct_sketch): the EXACT overlap columns
+    hash-compare against the independent DuckDB oracle, and the sketch's
+    containment estimate must land within `_KMV_BAND` of the exact share —
+    the boolean flips if the estimator drifts outside its guarantee.  The
+    sketch side never touches the exact plan: per-doc trigram hashes ->
+    bounded per-partition bottom-k partials -> one partial-merge groupBy ->
+    |sources|^2 pairwise sketch math."""
+    from mysql_log_parser_spark.textops.kmv import (
+        kmv_pairwise_containment,
+        kmv_sketch_per_key,
+        md5_48,
+    )
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    d = _docs(spark, sf_dir).select(
+        "source", words_of(F.col("text")).alias("ws")
+    ).where(F.size("ws") >= 3)
+    tris = F.expr(
+        "transform(slice(ws, 1, size(ws) - 2),"
+        " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
+        " element_at(ws, i + 3)))"
+    )
+    hashed = d.select(
+        "source", F.transform(tris, lambda t: md5_48(t)).alias("hs")
+    )
+    sketches = kmv_sketch_per_key(hashed, "source", "hs", _KMV_K)
+    est = kmv_pairwise_containment(sketches, _KMV_K).select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "share_est",
+    )
+    # band check against the floored permille: the <=0.001 quantization is
+    # negligible next to the 0.2 band
+    exact = q_source_overlap(spark, sf_dir)
+    return (
+        exact.join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "share_permille",
+            (
+                F.abs(F.col("share_est") - F.col("share_permille") / 1000.0)
+                <= _KMV_BAND
+            ).alias("sketch_in_band"),
+        )
+    )
+
+
+O_SOURCE_OVERLAP_SKETCH = O_SOURCE_OVERLAP.rstrip().replace(
+    "SELECT source_a, source_b,",
+    "SELECT source_a, source_b,",
+    1,
+).replace(
+    "CAST(floor(n_shared * 1000.0 / base.n_tri) AS BIGINT) AS share_permille",
+    "CAST(floor(n_shared * 1000.0 / base.n_tri) AS BIGINT) AS share_permille,\n"
+    "       CAST(TRUE AS BOOLEAN) AS sketch_in_band",
+    1,
+)
+
+TEXTOPS_QUERIES["source_overlap_sketch"] = (
+    q_source_overlap_sketch,
+    O_SOURCE_OVERLAP_SKETCH,
+)
+
+
 # -- 27. prefix-bucket duplicate candidates ------------------------------------
 
 _PFX_WORDS = 8

@@ -498,6 +498,65 @@ def test_semantic_dedup_agrees_across_kernels(spark, emb):
     assert res("catalyst") == res("arrow")
 
 
+def test_kmv_sketch_exact_below_k_and_partition_invariant(spark):
+    """A KMV sketch over fewer than k distinct hashes IS the distinct hash
+    set (sorted) — and the two-level partial merge must yield the identical
+    sketch regardless of how rows are partitioned (bottom-k of unioned
+    bottom-k partials = bottom-k of the union)."""
+    from mysql_log_parser_spark.textops.kmv import kmv_sketch_per_key
+
+    rows = [
+        ("a", [5, 1, 9, 1]),
+        ("a", [7, 5]),
+        ("b", [2, 2, 8]),
+        ("b", []),
+    ]
+    df = spark.createDataFrame(rows, "source string, hs array<long>")
+
+    def sketch_of(n_parts):
+        return {
+            r["source"]: list(r["sketch"])
+            for r in kmv_sketch_per_key(
+                df.repartition(n_parts), "source", "hs", k=256
+            ).collect()
+        }
+
+    one = sketch_of(1)
+    assert one == {"a": [1, 5, 7, 9], "b": [2, 8]}
+    assert sketch_of(4) == one
+
+    # truncation to k: the k smallest survive
+    small = {
+        r["source"]: list(r["sketch"])
+        for r in kmv_sketch_per_key(df, "source", "hs", k=2).collect()
+    }
+    assert small == {"a": [1, 5], "b": [2, 8]}
+
+
+def test_kmv_containment_estimates_and_plan(spark):
+    """Below-k sketches make every KMV estimator exact: containment of
+    a (subset) in b (superset) must be exactly 1.0, the reverse the true
+    ratio; the pairwise stage must broadcast and contain no Python eval."""
+    from mysql_log_parser_spark.textops.kmv import (
+        kmv_pairwise_containment,
+        kmv_sketch_per_key,
+    )
+
+    rows = [("a", list(range(10))), ("b", list(range(40)))]
+    df = spark.createDataFrame(rows, "source string, hs array<long>")
+    sk = kmv_sketch_per_key(df, "source", "hs", k=64)
+    out = kmv_pairwise_containment(sk, 64)
+    got = {(r["key_a"], r["key_b"]): r for r in out.collect()}
+    ab = got[("a", "b")]
+    assert ab["share_est"] == 1.0 and ab["a_est"] == 10.0 and ab["union_est"] == 40.0
+    ba = got[("b", "a")]
+    assert ba["share_est"] == 0.25 and ba["jaccard_est"] == 0.25
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan.replace("ArrowEvalPython", ""), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_token_topk_ascii_precondition_and_values(spark):
     """token_id_topk/token_bigram_topk's DuckDB oracles recover token ids
     via per-char unicode(), which equals the contract's UTF-8 byte encoding
