@@ -25,6 +25,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class PosixSinkStore:
+    """Write-side storage seam for the routed-sink maintenance operators —
+    the twin of the read side's PosixLogStore (sources/rawlog.py): the
+    partition-swap discipline below needs exactly these three directory
+    primitives, so an HDFS/object-store deployment drops in by implementing
+    them; the swap ALGORITHM stays storage-agnostic.
+
+    Semantics contract: `rename` must move a directory tree to a new name.
+    On posix this is atomic, which is what makes the `.old` swap crash-safe.
+    S3-style object stores have NO rename (only copy+delete, non-atomic,
+    eventually consistent): an implementation there must either emulate it
+    behind a commit manifest (write the new tree, flip one pointer object,
+    garbage-collect later) or — the real production answer, as the
+    upsert_routed docstring says — not be used at all, because an Iceberg /
+    Delta table gives MERGE INTO and atomic snapshot swap natively.
+    Instances are plain config carriers (picklable, no open handles)."""
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def remove_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def route_partitioned(
     events: DataFrame,
     base_path: str,
@@ -152,6 +181,7 @@ def upsert_routed(
     base_path: str,
     updates: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id", "event_idx"),
+    store: PosixSinkStore | None = None,
 ) -> list[str]:
     """Partition-scoped upsert (MERGE INTO emulation for the parquet-dir
     layout; an Iceberg deployment gets this natively and the call sites are
@@ -173,10 +203,16 @@ def upsert_routed(
     anti-join keys (appended if absent from `key_cols`), so the same
     (doc_id, event_idx) living in two affected source partitions updates
     each partition's own row — without this, one source's update would
-    delete the other source's row and re-insert only its own."""
-    import shutil
+    delete the other source's row and re-insert only its own.
+
+    `store` abstracts the directory mutations (default: posix, where
+    rename is atomic and the swap crash-safe).  See PosixSinkStore for the
+    object-store caveat: no atomic rename there — use a commit-manifest
+    emulation or, in production, Iceberg/Delta MERGE INTO instead of this
+    parquet-dir emulation."""
     import uuid
 
+    store = store if store is not None else PosixSinkStore()
     srcs = sorted(
         r["source"] for r in updates.select("source").distinct().collect()
     )
@@ -195,14 +231,14 @@ def upsert_routed(
     for src in srcs:
         src_dir = os.path.join(stage, f"source={src}")
         dst_dir = os.path.join(base_path, f"source={src}")
-        if os.path.isdir(dst_dir):  # brand-new sources have no dir to retire
+        if store.is_dir(dst_dir):  # brand-new sources have no dir to retire
             tmp_old = dst_dir + ".old"
-            os.rename(dst_dir, tmp_old)
-            os.rename(src_dir, dst_dir)
-            shutil.rmtree(tmp_old, ignore_errors=True)
+            store.rename(dst_dir, tmp_old)
+            store.rename(src_dir, dst_dir)
+            store.remove_dir(tmp_old)
         else:
-            os.rename(src_dir, dst_dir)
-    shutil.rmtree(stage, ignore_errors=True)
+            store.rename(src_dir, dst_dir)
+    store.remove_dir(stage)
     # drop any cached file listings for the swapped partitions — readers
     # created before the upsert would otherwise chase renamed-away files
     spark.catalog.refreshByPath(base_path)

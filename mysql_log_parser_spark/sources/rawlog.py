@@ -71,6 +71,79 @@ class PosixLogStore:
             return f.read(length)
 
 
+class _StoreRangeFile:
+    """Minimal unseekable read-only file-like over store.read_range — what
+    gzip.GzipFile needs to stream-decompress a member without the task ever
+    holding the whole compressed OR decompressed body."""
+
+    def __init__(self, store, path: str, size: int):
+        self._store, self._path, self._size, self._pos = store, path, size, 0
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        if self._pos >= self._size or n <= 0:
+            return b""
+        buf = self._store.read_range(self._path, self._pos, n)
+        self._pos += len(buf)
+        return buf
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+
+def _gz_stream_docs(
+    store, path: str, size: int, doc_bytes: int, slack: int, boundary: bytes
+) -> Iterator[tuple[int, bytes]]:
+    """Stream-decompress a gzip member into event-boundary-snapped docs of
+    ~doc_bytes, yielding (decompressed_offset, doc_bytes_chunk).
+
+    Peak task memory is ~doc_bytes + slack + one compressed read buffer —
+    NOT the member's full decompressed size (a multi-GB rotated .gz used to
+    be one whole-file string).  Cuts happen only at boundary line starts,
+    so every event lands in exactly one doc; a single event larger than
+    doc_bytes + slack raises loudly (same fail-don't-degrade contract as
+    the byte-range overlap guard below).  Multi-member concatenated gzip is
+    handled by GzipFile transparently."""
+    import gzip
+
+    f = gzip.GzipFile(fileobj=_StoreRangeFile(store, path, size))
+    pending = b""
+    base = 0
+    # read in ~doc_bytes increments so peak memory tracks the doc size, not
+    # a fixed large buffer (capped for huge doc_bytes, floored for tiny)
+    piece_bytes = max(64 << 10, min(doc_bytes, 4 << 20))
+    while True:
+        piece = f.read(piece_bytes)
+        if piece:
+            pending += piece
+            while len(pending) >= doc_bytes:
+                offs = _boundary_offsets(pending, boundary, include_zero=False)
+                if not offs:
+                    break
+                # largest boundary <= doc_bytes keeps docs ~doc_bytes; if
+                # the first boundary already overshoots, cut there (the doc
+                # is one oversized event run, still bounded by the guard)
+                at_or_below = [o for o in offs if o <= doc_bytes]
+                cut = at_or_below[-1] if at_or_below else offs[0]
+                yield base, pending[:cut]
+                base += cut
+                pending = pending[cut:]
+            if len(pending) > doc_bytes + slack:
+                raise ValueError(
+                    f"gzip member {path}: event spanning decompressed "
+                    f"offset {base + len(pending)} exceeds chunk_bytes + "
+                    f"overlap = {doc_bytes + slack}; raise overlap"
+                )
+        else:
+            if pending:
+                yield base, pending
+            return
+
+
 def _boundary_offsets(buf: bytes, boundary: bytes, include_zero: bool) -> list[int]:
     """Offsets of lines starting with `boundary` within buf (line starts
     only: position 0 when requested, else the byte after a newline)."""
@@ -145,8 +218,10 @@ def read_raw_slowlog(
             continue  # empty rotation artifacts: nothing to own, and
             # gzip.decompress would reject an empty member outright
         if p.endswith(".gz"):
-            # gzip streams cannot be byte-range split: one whole-file task.
-            # A rotated-logs directory still parallelizes ACROSS its .gz
+            # gzip streams cannot be byte-range split: one task per member.
+            # The task STREAM-decompresses into ~chunk_bytes boundary-
+            # snapped docs (_gz_stream_docs), so memory stays bounded; a
+            # rotated-logs directory still parallelizes ACROSS its .gz
             # files; only intra-file parallelism is lost (inherent to gzip —
             # recompress to a splittable codec to regain it).
             specs.append((p, 0, 0, sizes[p]))
@@ -169,19 +244,24 @@ def read_raw_slowlog(
             rows = []
             for r in pdf.itertuples():
                 if r.path.endswith(".gz"):
-                    import gzip
-
-                    buf = gzip.decompress(
-                        store.read_range(r.path, 0, sizes[r.path])
-                    )
-                    rows.append(
-                        {
-                            "doc_id": f"{r.chunk_id}@0",
-                            "text": buf.decode("utf-8", errors="replace"),
-                            "source": source if source is not None
-                            else os.path.basename(r.path),
-                        }
-                    )
+                    # stream-decompress into ~chunk_bytes boundary-snapped
+                    # docs: bounded task memory even for a multi-GB member.
+                    # doc_id bases (and thus with_file_offset) are offsets
+                    # in the DECOMPRESSED stream for gzip members.
+                    for j, (dbase, dbuf) in enumerate(
+                        _gz_stream_docs(
+                            store, r.path, sizes[r.path], chunk_bytes,
+                            overlap, boundary,
+                        )
+                    ):
+                        rows.append(
+                            {
+                                "doc_id": f"{r.chunk_id}.{j}@{dbase}",
+                                "text": dbuf.decode("utf-8", errors="replace"),
+                                "source": source if source is not None
+                                else os.path.basename(r.path),
+                            }
+                        )
                     continue
                 # read one prefix byte so a boundary line starting EXACTLY at
                 # r.start is still seen as newline-preceded by this chunk

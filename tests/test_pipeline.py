@@ -338,6 +338,61 @@ def test_upsert_routed_scopes_merge_per_source(spark, tmp_path):
     }
 
 
+def test_upsert_routed_mutations_route_through_store_seam(spark, tmp_path, monkeypatch):
+    """Every directory mutation of the upsert swap must go through the
+    SinkStore seam (the object-store portability boundary): a recording
+    store sees the full retire -> swap-in -> GC sequence per affected
+    partition, and direct os.rename calls from route.py are forbidden."""
+    from mysql_log_parser_spark.operators import route
+    from mysql_log_parser_spark.operators.route import (
+        PosixSinkStore,
+        route_partitioned,
+        upsert_routed,
+    )
+
+    schema = "doc_id string, event_idx long, query_time double, source string"
+    base = str(tmp_path / "routed")
+    route_partitioned(
+        spark.createDataFrame([("d1", 0, 1.0, "a"), ("d2", 0, 2.0, "b")], schema),
+        base,
+    )
+
+    real_rename = os.rename
+
+    def no_direct_rename(src, dst):
+        raise AssertionError(f"os.rename bypassed the store seam: {src}")
+
+    monkeypatch.setattr(route.os, "rename", no_direct_rename)
+
+    # the store carries its own rename (the seam under test), so it must
+    # keep working while route.py's os.rename is poisoned
+    class WorkingRecordingStore(PosixSinkStore):
+        def __init__(self):
+            self.ops = []
+
+        def rename(self, src, dst):
+            self.ops.append(("rename", src, dst))
+            real_rename(src, dst)
+
+        def remove_dir(self, path):
+            self.ops.append(("remove_dir", path))
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+
+    store = WorkingRecordingStore()
+    updates = spark.createDataFrame([("d1", 0, 9.0, "a")], schema)
+    assert upsert_routed(spark, base, updates, store=store) == ["a"]
+
+    kinds = [op[0] for op in store.ops]
+    # retire old, swap staged in, GC .old, GC stage dir — in that order
+    assert kinds == ["rename", "rename", "remove_dir", "remove_dir"]
+    assert store.ops[0][2].endswith(".old")
+    assert store.ops[1][2].endswith("source=a")
+    got = {r["doc_id"]: r["query_time"] for r in spark.read.parquet(base).collect()}
+    assert got == {"d1": 9.0, "d2": 2.0}
+
+
 def test_tokens_table_json_and_orc_formats(spark, synth_docs, tmp_path):
     """The tokens source reads the same contract from JSON-lines and ORC
     layouts: digests computed over each format must equal the parquet

@@ -214,6 +214,75 @@ def test_gzipped_rotated_logs(spark, tmp_path):
     assert ids == set(range(70)), "events lost or duplicated across members"
 
 
+def test_gzip_member_streams_into_bounded_subdocs(spark, tmp_path):
+    """A gzip member larger than chunk_bytes must decompress into MULTIPLE
+    boundary-snapped sub-docs (bounded task memory), with events identical
+    to the plain-file parse of the same bytes and honest decompressed-
+    stream offsets through with_file_offset."""
+    import gzip
+
+    from mysql_log_parser_spark.sources.rawlog import (
+        _gz_stream_docs,
+        PosixLogStore,
+        read_raw_slowlog,
+        with_file_offset,
+    )
+
+    text = "".join(
+        f"# Time: 240101 10:{i % 60:02d}:00\n"
+        f"# User@Host: u[u] @ h []\n"
+        f"# Query_time: {i}.250000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 2\n"
+        f"SELECT c FROM t{i % 3} WHERE id={i};\n"
+        for i in range(60)
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    gz = d / "slow.log.1.gz"
+    gz.write_bytes(gzip.compress(text.encode()))
+
+    # sub-doc split is bounded and lossless at the byte level
+    docs = list(
+        _gz_stream_docs(
+            PosixLogStore(), str(gz), gz.stat().st_size, 1 << 10, 4096, b"# Time:"
+        )
+    )
+    assert len(docs) > 1, "member did not split into multiple sub-docs"
+    assert b"".join(b for _, b in docs) == text.encode()
+    assert docs[0][0] == 0
+    for (base_a, buf_a), (base_b, _) in zip(docs, docs[1:]):
+        assert base_b == base_a + len(buf_a)
+        assert text.encode()[base_b:].startswith(b"# Time:"), "cut off-boundary"
+
+    # parsed events == whole-text parse, offsets are decompressed-stream honest
+    ev = with_file_offset(
+        read_raw_slowlog(spark, str(d), chunk_bytes=1 << 10, overlap=4096)
+    )
+    whole = parse_slowlog(
+        spark.createDataFrame(
+            [("w", text, "")], "doc_id string, text string, source string"
+        )
+    ).withColumn("file_offset", F.col("offset") - (F.col("offset") != 0).cast("long"))
+    key = lambda df: sorted(  # noqa: E731
+        (r[0], r[1]) for r in df.select("file_offset", "query").collect()
+    )
+    assert key(ev) == key(whole)
+
+    # a single event larger than chunk_bytes + overlap fails loudly
+    big = (
+        "# Time: 240101 10:00:00\n# User@Host: u[u] @ h []\n"
+        "# Query_time: 1.0  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 2\n"
+        "SELECT '" + "x" * 5000 + "';\n"
+    )
+    gz2 = tmp_path / "big.gz"
+    gz2.write_bytes(gzip.compress((big * 3).encode()))
+    with pytest.raises(ValueError, match="exceeds chunk_bytes"):
+        list(
+            _gz_stream_docs(
+                PosixLogStore(), str(gz2), gz2.stat().st_size, 512, 1024, b"# Time:"
+            )
+        )
+
+
 def test_empty_and_all_empty_log_files(spark, tmp_path):
     """Zero-byte rotation artifacts must be skipped (gzip.decompress rejects
     an empty member), and an all-empty directory is a valid zero-event
