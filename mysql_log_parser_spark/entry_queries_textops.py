@@ -1502,6 +1502,97 @@ FROM m2
 TEXTOPS_QUERIES["bpe_train2"] = (q_bpe_train2, O_BPE_TRAIN2)
 
 
+_BPE_N = 8
+
+
+def q_bpe_train8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHT chained BPE rounds through the production trainer
+    (textops/bpe.bpe_train_n): per round one distributed top-1 selection
+    (single row to the driver) + one Arrow merge rewrite, with at most two
+    corpus generations persisted at a time.  The oracle replays all eight
+    rounds in DuckDB over a sentinel-char text encoding (chr(i) <-> id
+    255+i) and hash-compares the final id sequences — any drift in pair
+    choice, tie-break, overlap rule or id mapping across ANY round flips
+    the hash."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.bpe import bpe_train_n
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    merged, _rounds = bpe_train_n(d, _BPE_N)
+    n0 = d.select("doc_id", F.size("tokens").cast("long").alias("n0"))
+    out = merged.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_final"),
+        F.md5(
+            F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+        ).alias("merged_md5"),
+    )
+    return n0.join(out, "doc_id")
+
+
+def _o_bpe_train_n(n: int) -> str:
+    """Chained-CTE DuckDB replay of n BPE rounds: the working text keeps
+    merged ids as sentinel chars (chr(i) <-> id 255+i, valid while the
+    corpus is ASCII — gated by the token_topk precondition test), each
+    round recomputes the id-list view, picks argmax bigram with the
+    (count desc, lead asc, next asc) tie-break via bg = lead*4096 + next,
+    and applies a non-overlapping global replace (the merge_one property
+    test pins Spark's kernel to exactly replace() semantics)."""
+    ids = (
+        "list_transform(list_filter(string_split(t, ''), c -> c != ''), "
+        f"c -> CASE WHEN unicode(c) BETWEEN 1 AND {n} THEN 255 + unicode(c) "
+        "ELSE unicode(c) END)"
+    )
+    parts = [f"WITH t0 AS (SELECT doc_id, text AS t FROM documents)"]
+    for i in range(1, n + 1):
+        parts.append(
+            f", l{i - 1} AS (SELECT doc_id, t, {ids} AS l FROM t{i - 1})"
+        )
+        parts.append(
+            f""", best{i} AS (
+  SELECT bg FROM (
+    SELECT bg, count(*) AS n FROM (
+      SELECT unnest([l[i]*4096 + l[i+1] for i in range(1, len(l))]) AS bg
+      FROM l{i - 1} WHERE len(l) >= 2
+    ) GROUP BY bg ORDER BY n DESC, bg LIMIT 1)
+)"""
+        )
+        parts.append(
+            f""", p{i} AS (
+  SELECT (CASE WHEN bg // 4096 >= 256 THEN chr(bg // 4096 - 255)
+               ELSE chr(bg // 4096) END) ||
+         (CASE WHEN bg % 4096 >= 256 THEN chr(bg % 4096 - 255)
+               ELSE chr(bg % 4096) END) AS p
+  FROM best{i}
+)"""
+        )
+        parts.append(
+            f""", t{i} AS (
+  SELECT doc_id, replace(t, (SELECT p FROM p{i}), chr({i})) AS t
+  FROM l{i - 1}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id,
+       (SELECT CAST(length(o.text) AS BIGINT) FROM documents o
+        WHERE o.doc_id = t{n}.doc_id) AS n0,
+       CAST(length(t) AS BIGINT) AS n_final,
+       md5(array_to_string(
+         list_transform({ids}, x -> CAST(x AS VARCHAR)), ',')) AS merged_md5
+FROM t{n}
+"""
+    )
+    return "".join(parts)
+
+
+O_BPE_TRAIN8 = _o_bpe_train_n(_BPE_N)
+
+TEXTOPS_QUERIES["bpe_train8"] = (q_bpe_train8, O_BPE_TRAIN8)
+
+
 # -- 24. vocabulary-commonness score (CCNet-style unigram filter) --------------
 
 

@@ -124,3 +124,53 @@ def bpe_merge_step(tokens_df: DataFrame, new_id: int) -> DataFrame:
     unique id `new_id` in the rewritten sequences."""
     lead, nxt, _n = top_bigram(tokens_df)
     return apply_merge(tokens_df, (lead, nxt), new_id)
+
+
+def bpe_train_n(
+    tokens_df: DataFrame,
+    n_merges: int,
+    first_id: int = 256,
+) -> tuple[DataFrame, list[dict]]:
+    """N chained BPE training rounds — the operator a real tokenizer-
+    training pipeline ships (bpe_merge_step/bpe_train2 are its gates).
+
+    Each round: distributed top-1 pair selection (partial agg ->
+    TakeOrderedAndProject, ONE row crosses the driver) then the Arrow-
+    batched merge rewrite.  The corpus is persisted between rounds so
+    round i+1's selection and rewrite share round i's materialization
+    instead of replaying the whole merge chain; the grandparent
+    materialization is unpersisted as soon as its child is materialized,
+    so executor storage holds at most two corpus generations regardless of
+    N.  A full corpus pass per merge is inherent to BPE (every trainer
+    does it); per-round wall time is returned so callers can assert the
+    ~linear cost profile.
+
+    Returns (merged_df, rounds): merged_df has (doc_id, tokens) with merge
+    i collapsed to id first_id + i; rounds[i] records
+    {lead, next, new_id, count, seconds}."""
+    import time
+
+    cur = tokens_df.select("doc_id", "tokens")
+    rounds: list[dict] = []
+    persisted: list[DataFrame] = []
+    for i in range(int(n_merges)):
+        t0 = time.monotonic()
+        lead, nxt, cnt = top_bigram(cur)
+        cur = apply_merge(cur, (lead, nxt), first_id + i).select(
+            "doc_id", F.col("tokens_merged").alias("tokens")
+        ).persist()
+        persisted.append(cur)
+        cur.count()  # materialize now so the timing covers the rewrite and
+        # the parent can be released next round
+        if len(persisted) >= 3:
+            persisted[-3].unpersist()
+        rounds.append(
+            {
+                "lead": lead,
+                "next": nxt,
+                "new_id": first_id + i,
+                "count": cnt,
+                "seconds": time.monotonic() - t0,
+            }
+        )
+    return cur, rounds

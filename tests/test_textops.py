@@ -498,6 +498,31 @@ def test_semantic_dedup_agrees_across_kernels(spark, emb):
     assert res("catalyst") == res("arrow")
 
 
+def test_bpe_train_n_equals_sequential_merge_steps(spark):
+    """bpe_train_n(k) must equal k manual bpe_merge_step rounds exactly
+    (same pairs, same rewritten corpus) and record one timed round per
+    merge with the winning pair and its count."""
+    from mysql_log_parser_spark.textops.bpe import bpe_merge_step, bpe_train_n
+
+    rows = [(1, [97, 98, 97, 98, 99]), (2, [97, 98, 97, 97, 98]), (3, [99, 99])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+    merged, rounds = bpe_train_n(df, 3)
+    assert [r["new_id"] for r in rounds] == [256, 257, 258]
+    assert all(r["seconds"] > 0 and r["count"] >= 1 for r in rounds)
+
+    manual = df
+    for nid in (256, 257, 258):
+        manual = bpe_merge_step(manual, nid).select(
+            "doc_id", F.col("tokens_merged").alias("tokens")
+        )
+    got = {r["doc_id"]: list(r["tokens"]) for r in merged.collect()}
+    want = {r["doc_id"]: list(r["tokens"]) for r in manual.collect()}
+    assert got == want
+    # first merge must be (97, 98) -> 256, the most frequent pair
+    assert (rounds[0]["lead"], rounds[0]["next"]) == (97, 98)
+
+
 def test_kmv_sketch_exact_below_k_and_partition_invariant(spark):
     """A KMV sketch over fewer than k distinct hashes IS the distinct hash
     set (sorted) — and the two-level partial merge must yield the identical
