@@ -53,6 +53,57 @@ def _timed_min(fn, repeats: int, slow_cutoff: float = 8.0) -> float:
     return min(runs)
 
 
+# -- no-Spark control kernel ---------------------------------------------------
+# A pinned, deterministic workload in the same cost family as the parse hot
+# path (regex metric extraction + md5 over rendered log lines), run once per
+# core via multiprocessing.  Its wall time measures THE BOX, not the engine:
+# round-over-round bench tables divide by it to separate plan regressions
+# from host drift (BENCH.md r3 saw 15-25% same-plan swings).  Constants are
+# frozen — changing them invalidates cross-round comparability.
+
+_CONTROL_LINES = 2000
+_CONTROL_REPS = 120
+
+
+def _control_task(seed: int) -> int:
+    import hashlib
+    import re
+
+    rx = re.compile(r"(\w+): (\d+\.?\d*)")
+    text = "".join(
+        f"# Query_time: {i % 97}.{i % 7}  Lock_time: 0.0 "
+        f"Rows_sent: {i % 13}  Rows_examined: {i % 997}\n"
+        for i in range(_CONTROL_LINES)
+    )
+    acc = 0
+    for j in range(_CONTROL_REPS):
+        for m in rx.finditer(text):
+            acc ^= len(m.group(2))
+        for line in text.splitlines():
+            acc ^= int.from_bytes(
+                hashlib.md5(line.encode() + bytes([j % 251, seed % 251])).digest()[:4],
+                "big",
+            )
+    return acc
+
+
+def control_kernel_sec(cpus: int, repeats: int = 2) -> float:
+    """Wall seconds for `cpus` processes each running the pinned control
+    task once (min over `repeats` timed pool runs; one untimed warmup pool
+    absorbs fork/import cost)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(processes=cpus) as pool:
+        pool.map(_control_task, range(cpus))  # warmup
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            pool.map(_control_task, range(cpus))
+            runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
 def prepare_tokens(spark, sf_dir: str, replicate: int = 1) -> str:
     """Materialize the tokens input table for `sf_dir` (cached in /tmp).
 
@@ -212,6 +263,11 @@ def main() -> None:
                 _timed_min(lambda: _materialize(fn(spark, sf_dir)), q_repeats), 3
             )
 
+    # Box-drift control: pinned no-Spark kernel on the same core count.
+    # `flagship_over_control` is the drift-normalized headline — compare IT
+    # across rounds; raw seconds move with the host.
+    control = control_kernel_sec(cpus)
+
     out = {
         "metric": "end_to_end_pipeline_sec",
         "value": round(flagship, 3),
@@ -221,6 +277,8 @@ def main() -> None:
         "events": n_events,
         "events_per_sec": round(n_events / flagship, 1),
         "cpus": cpus,
+        "control_sec": round(control, 3),
+        "flagship_over_control": round(flagship / control, 3),
     }
     if stream_sec is not None:
         out["stream_events_per_sec"] = round(n_events / stream_sec, 1)

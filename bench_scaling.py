@@ -66,6 +66,13 @@ def main() -> None:
                 "events": legs[32]["events"],
                 "events_per_sec": {str(c): r[c] for c in legs},
                 "pipeline_sec": {str(c): legs[c]["value"] for c in legs},
+                # pinned no-Spark control per leg (bench.py control kernel):
+                # divides out box drift round-over-round, and its own
+                # 8->32 degradation IS the measured bandwidth ceiling
+                "control_sec": {str(c): legs[c].get("control_sec") for c in legs},
+                "flagship_over_control": {
+                    str(c): legs[c].get("flagship_over_control") for c in legs
+                },
                 "sf": sf_dir,
                 "replicate": replicate,
             }
