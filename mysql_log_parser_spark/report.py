@@ -45,6 +45,14 @@ def digest_report(
     ev = events.persist()
     try:
         total = ev.count()
+        # Sampling correction (pt-query-digest's observed*N math, surfaced
+        # by the reference CLI's digest; ref bin/parser-cli.go:124-151):
+        # each logged event stands for Log_slow_rate_limit actual sessions,
+        # so corrected traffic = sum of per-event rate limits (0 = no rate
+        # limiting seen = counts as itself).  Summing per event is exact
+        # even when sinks carry different limits.
+        rl = F.greatest(F.col("rate_limit"), F.lit(1)) if "rate_limit" in ev.columns else F.lit(1)
+        corrected_total = ev.agg(F.sum(rl).cast("long").alias("c")).first()["c"] or 0
         lines = []
         if elapsed_sec:
             lines.append(
@@ -53,6 +61,11 @@ def digest_report(
             )
         else:
             lines.append(f"Events: {total}")
+        if corrected_total != total:
+            lines.append(
+                f"Rate-limit corrected events: {corrected_total} "
+                f"(observed {total}, server logged 1/N sessions)"
+            )
 
         ladder = _ladder(ev)
         for phi, val in zip(PHIS, ladder):
@@ -63,6 +76,7 @@ def digest_report(
             ev.groupBy("class_id")
             .agg(
                 F.count(F.lit(1)).alias("total_queries"),
+                F.sum(rl).cast("long").alias("corrected_queries"),
                 F.first("fingerprint").alias("fingerprint"),
                 F.percentile_approx(
                     F.col("query_time").cast("double"), PHIS, GK_ACCURACY
@@ -73,7 +87,13 @@ def digest_report(
             .collect()
         )
         for c in classes:
-            lines.append(f"Query ID {c.class_id}, Events: {c.total_queries}")
+            if c.corrected_queries != c.total_queries:
+                lines.append(
+                    f"Query ID {c.class_id}, Events: {c.total_queries} "
+                    f"(rate-limit corrected: {c.corrected_queries})"
+                )
+            else:
+                lines.append(f"Query ID {c.class_id}, Events: {c.total_queries}")
             lines.append(f"  fingerprint: {c.fingerprint}")
             for phi, val in zip(PHIS, c.ladder or []):
                 lines.append(f"  {phi:.2f} pct query time : {val:.6f}")

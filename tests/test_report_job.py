@@ -19,6 +19,21 @@ def test_digest_report(spark, tmp_path):
     assert "1.00 pct query time" in rep
     assert "bucket  0:" in rep
     assert "Query ID " in rep and "fingerprint: " in rep
+    # no rate limiting seen in the synth corpus -> no corrected line
+    assert "Rate-limit corrected" not in rep
+
+
+def test_digest_report_rate_corrected(spark, tmp_path):
+    """When events carry Log_slow_rate_limit=N the report surfaces the
+    pt-query-digest observed*N correction, globally and per class."""
+    p = str(tmp_path / "tokens.parquet")
+    synth.generate_parquet(p, n_docs=10, events_per_doc=20, seed=3)
+    ev = SlowLogPipeline(spark).events(spark.read.parquet(p)).withColumn(
+        "rate_limit", F.lit(100)
+    )
+    rep = digest_report(ev)
+    assert "Rate-limit corrected events: 20000 (observed 200" in rep
+    assert "(rate-limit corrected: " in rep  # per-class line
 
 
 def test_digest_job_cli(spark, tmp_path):
