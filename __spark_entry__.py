@@ -45,52 +45,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return class_digest(ev, mode="sketch")
 
 
-# Entries without a driver-verified CORRECTNESS row yet enumerate FIRST:
+# Entries without a CURRENT-round driver CORRECTNESS row enumerate FIRST:
 # the driver's per-round gate records the first ~50 queries() entries in
-# dict order, so never-verified and newest surfaces must lead while the
-# long-green tail (r01/r02 rows on file) absorbs any cap.
+# dict order, so (a) never-gated, (b) changed-since-their-last-gate, and
+# (c) r02-row-only entries must lead while the r03-green-and-untouched
+# tail absorbs any cap (VERDICT r3 "What's missing" #1).
 _VERIFY_FIRST = [
-    # never driver-gated through r02 (VERDICT r2 "What's missing" §1)
-    "pii_redact",
-    "repetition_stats",
-    "decontaminate",
-    "dedup_components",
-    "mix_upsample",
-    "token_budget",
-    "vocab_stats",
-    "curation_pipeline",
-    "quality_filter",
-    "pack_sequences",
-    "sequence_pack",
-    # new this round
-    "decontaminate_shuffle",
-    "slow_digest_merge",
-    "slow_bucketed_join",
-    "stream_dedup",
-    "slow_checkpoint_resume",
-    "semantic_dedup",  # re-gate: k now scales (32 cells) instead of fixed 4
-    "token_id_topk",
-    "token_bigram_topk",
-    "heavy_hitters",
-    "bpe_merge_step",
-    "seq_len_histogram",
-    "bpe_train2",
-    "stream_heavy_hitters",
-    "multimodal_resize",
-    "line_boilerplate",
-    "word_commonness",
-    "slow_window_topk",
-    "ngram_novelty",
-    "source_overlap",
-    "prefix_dup_groups",
-    "slow_user_agg",
-    "tokens_roundtrip",
-    "slow_db_capture",
-    "slow_set_skip",
-    "slow_sliding_window",
-    "slow_user_sketch",
-    "slow_event_offsets",
-    "slow_rate_corrected",
+    # (a) new this round, never driver-gated
+    "bpe_train8",
+    "source_overlap_sketch",
+    # (b) implementation changed after their last green driver row
+    "ann_lsh_topk",          # r02 row; Arrow matmul kernel param added (VERDICT r3)
+    "semantic_dedup",        # r03 row; centroid kernel='auto' switch added
+    "heavy_hitters",         # r03 row; certification edge-case fix (ADVICE)
+    "stream_heavy_hitters",  # r03 row; shares the certify helper
+    "bpe_merge_step",        # r03 row; bpe.py generalized to N rounds
+    "bpe_train2",            # r03 row; same
+    "line_boilerplate",      # r03 row; integer-exact threshold (ADVICE)
+    "slow_route_counts",     # r03 row; upsert key scoping + storage seam
+    # (c) r02 rows only, implementation untouched since — rotate through
+    "slow_rawlog_chunked",   # rawlog gzip/member streaming touched the module
+    "slow_report_ladder",    # report.py rate-corrected lines touched the module
+    "slow_window_agg",
+    "slow_example_select",
+    "slow_example_ts",
+    "ngram_jaccard_pairs",
+    "multimodal_features",
+    "ann_ivf_topk",
+    "slow_salted_class_agg",
+    "slow_rollup_digest",
+    "slow_bool_stats",
+    "slow_resume_offset",
+    "multimodal_frame_sample",
+    "slow_sink_class_agg",
+    "ann_kmeans_step",
+    "slow_session_window",
+    "slow_asof_config",
+    "slow_range_bands",
+    "slow_stats_pivot",
+    "ann_kmeans_iter2",
+    "slow_class_agg_sketch",
+    "slow_spike_detect",
+    "slow_distinct_sketch",
+    "slow_global_sketch",
+    "stream_route_counts",
+    "stream_stateful_digest",
+    "stream_window_agg",
+    "dedup_exact",
+    "text_quality",
+    "lang_id",
+    "token_stats",
+    "simhash_docs",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "embed_near_dup",
+    "split_assign",
+    "stratified_sample",
 ]
 
 
