@@ -582,6 +582,53 @@ def test_kmv_containment_estimates_and_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ngram_novelty_sketch_prunes_and_stays_in_band(spark):
+    """The sketched novelty audit must (a) keep every doc's estimate inside
+    its per-doc band vs the exact permille, and (b) actually PRUNE: the
+    sampled trigram relation feeding the frequency shuffle must be ~RATE of
+    the exact one (the whole point of the scale path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_log_parser_spark.entry_queries_textops import (
+        _NOV_THRESHOLD,
+        q_ngram_novelty_sketch,
+    )
+    from mysql_log_parser_spark.textops.kmv import md5_48
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("testdata missing")
+
+    out = q_ngram_novelty_sketch(spark, sf)
+    rows = out.collect()
+    assert rows and all(r["sketch_in_band"] for r in rows)
+
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", words_of(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 3)
+    )
+    tris = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 2),"
+                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
+                " element_at(ws, i + 3)))"
+            )
+        ).alias("tri")
+    )
+    total = tris.count()
+    sampled = tris.where(md5_48(F.col("tri")) < F.lit(_NOV_THRESHOLD)).count()
+    # RATE=0.25 of the value space; occurrence share drifts with skew but
+    # must be well under half and nonzero for the path to mean anything
+    assert 0 < sampled < 0.5 * total, (sampled, total)
+
+
 def test_token_topk_ascii_precondition_and_values(spark):
     """token_id_topk/token_bigram_topk's DuckDB oracles recover token ids
     via per-char unicode(), which equals the contract's UTF-8 byte encoding
