@@ -5,8 +5,9 @@ BASELINE.json input_hint.
 Backed by an Iceberg table when the session has an Iceberg catalog
 configured, else by a parquet directory with the same layout.  The read path
 is identical either way (format string aside); incremental consumption uses
-Iceberg snapshot ids when available, else the chunk-file manifest
-(operators/checkpoint.py).
+Iceberg snapshot ids when available, else the same (start, end] snapshot
+semantics emulated over the append-only chunk-file log (snapshots() below),
+with chunk-level lineage via operators/checkpoint.py.
 
 Scale notes: reads prune to (doc_id, tokens, source) — `n_tok` is only
 scanned when filters need it (e.g. skip empty docs), which Catalyst pushes
@@ -75,21 +76,73 @@ class TokensTable:
             df = df.where(F.col("source").isin(sources))
         return df
 
-    def read_snapshot_range(self, start_snapshot_id: int, end_snapshot_id: int | None = None) -> DataFrame:
-        """Iceberg incremental read (the Options.StartOffset analogue at
-        table granularity, options.go:4).  Parquet-dir deployments use
-        CheckpointedRunner instead."""
-        if not _has_iceberg(self.spark, self.location):
-            raise NotImplementedError(
-                "snapshot reads need an Iceberg catalog; parquet-dir layouts "
-                "resume via operators.checkpoint.CheckpointedRunner"
+    def snapshots(self) -> list[tuple[int, str]]:
+        """The table's append log as (snapshot_id, chunk_file) pairs,
+        ascending.  Dir-backed emulation of Iceberg's snapshot history: an
+        append-only chunk-file dir where file NAMES sort in append order
+        (the layout every writer in this repo produces — CheckpointedRunner
+        chunks, routed sinks) has a well-defined monotonic log, so
+        snapshot_id i covers files [1..i].  Ids are therefore stable under
+        appends, exactly like Iceberg's: history is never renumbered,
+        new files get new ids.  Real Iceberg catalogs keep their own log;
+        this method is the parquet-dir seam."""
+        if _has_iceberg(self.spark, self.location):
+            rows = (
+                self.spark.read.format("iceberg")
+                .load(f"{self.location}.snapshots")
+                .orderBy("committed_at")
+                .select("snapshot_id")
+                .collect()
             )
-        r = self.spark.read.format("iceberg").option(
-            "start-snapshot-id", str(start_snapshot_id)
+            return [(int(r["snapshot_id"]), "") for r in rows]
+        import os
+
+        files = sorted(
+            n
+            for n in os.listdir(self.location)
+            if not n.startswith(("_", ".")) and not os.path.isdir(
+                os.path.join(self.location, n)
+            )
         )
-        if end_snapshot_id is not None:
-            r = r.option("end-snapshot-id", str(end_snapshot_id))
-        return r.load(self.location)
+        return [(i + 1, n) for i, n in enumerate(files)]
+
+    def current_snapshot_id(self) -> int:
+        """Latest snapshot id (0 = empty table) — persist this alongside a
+        checkpoint, pass it back as start_snapshot_id to resume."""
+        snaps = self.snapshots()
+        return snaps[-1][0] if snaps else 0
+
+    def read_snapshot_range(
+        self, start_snapshot_id: int, end_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Iceberg incremental read (the Options.StartOffset analogue at
+        table granularity, ref log/parser/options.go:4): rows appended in
+        (start_snapshot_id, end_snapshot_id], end defaulting to current —
+        Iceberg's exclusive-start/inclusive-end contract.
+
+        With a catalog this is the native start-snapshot-id/end-snapshot-id
+        incremental scan; dir-backed layouts read exactly the chunk files
+        the emulated log (see snapshots()) assigns to that id range, so the
+        resume loop — process, persist current_snapshot_id(), crash, read
+        (saved, current] — runs identically in both deployments."""
+        if _has_iceberg(self.spark, self.location):
+            r = self.spark.read.format("iceberg").option(
+                "start-snapshot-id", str(start_snapshot_id)
+            )
+            if end_snapshot_id is not None:
+                r = r.option("end-snapshot-id", str(end_snapshot_id))
+            return r.load(self.location)
+        import os
+
+        picked = [
+            os.path.join(self.location, name)
+            for sid, name in self.snapshots()
+            if sid > start_snapshot_id
+            and (end_snapshot_id is None or sid <= end_snapshot_id)
+        ]
+        if not picked:
+            return self.spark.createDataFrame([], TOKENS_SCHEMA)
+        return self.spark.read.schema(TOKENS_SCHEMA).parquet(*picked)
 
     def validate_roundtrip(self, sample: int = 100) -> bool:
         """Per-row token-array invariant: tokens decode to text and re-encode

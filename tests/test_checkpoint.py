@@ -140,11 +140,40 @@ def test_iceberg_snapshot_range_reader_options():
     assert fake2.read.opts == {"start-snapshot-id": "7"}
 
 
-def test_snapshot_range_requires_catalog(spark, tmp_path):
-    """Parquet-dir layouts must route resume through CheckpointedRunner:
-    read_snapshot_range refuses loudly rather than silently full-scanning."""
+def test_snapshot_resume_dir_backed(spark, tmp_path):
+    """The snapshot resume loop on a dir-backed table: process, persist
+    current_snapshot_id(), append, then read (saved, current] — the delta
+    is exactly the appended rows, ids are stable under append, and
+    committed + delta == full table (Iceberg's (start, end] contract,
+    emulated per tokens_table.snapshots())."""
+    from mysql_log_parser_spark import synth
     from mysql_log_parser_spark.sources.tokens_table import TokensTable
 
-    t = TokensTable(spark, str(tmp_path))
-    with pytest.raises(NotImplementedError, match="CheckpointedRunner"):
-        t.read_snapshot_range(1)
+    loc = tmp_path / "tokens"
+    loc.mkdir()
+
+    def append(name, seed, n):
+        # one chunk file per append, named in append order
+        synth.generate_parquet(str(loc / name), n_docs=n, events_per_doc=2, seed=seed)
+
+    t = TokensTable(spark, str(loc))
+    assert t.current_snapshot_id() == 0
+    assert t.read_snapshot_range(0).count() == 0
+
+    append("c000.parquet", seed=1, n=3)
+    append("c001.parquet", seed=2, n=4)
+    saved = t.current_snapshot_id()
+    assert saved == 2
+    first = t.read_snapshot_range(0, saved)
+    assert first.count() == 7
+
+    append("c002.parquet", seed=3, n=5)
+    # history not renumbered: the old range reads the same rows
+    assert t.read_snapshot_range(0, saved).count() == 7
+    delta = t.read_snapshot_range(saved)
+    assert delta.count() == 5
+    ids_first = {r["doc_id"] for r in first.select("doc_id").collect()}
+    ids_delta = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    assert not ids_first & ids_delta
+    full = {r["doc_id"] for r in t.read().select("doc_id").collect()}
+    assert ids_first | ids_delta == full
