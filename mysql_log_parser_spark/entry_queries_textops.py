@@ -19,7 +19,7 @@ import hashlib
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_log_parser_spark.textops.dedup import (
@@ -1670,6 +1670,18 @@ TEXTOPS_QUERIES["word_commonness"] = (q_word_commonness, O_WORD_COMMONNESS)
 # -- 25. n-gram novelty (memorization-risk / diversity signal) -----------------
 
 
+def _word_trigrams(ws_col: str = "ws") -> Column:
+    """Word-trigram array over a word-array column — ONE Catalyst transform
+    over the array slice.  Shared by the exact AND sketched novelty/overlap
+    audits so the n-gram definition can never drift between a gate and its
+    scale path."""
+    return F.expr(
+        f"transform(slice({ws_col}, 1, size({ws_col}) - 2),"
+        f" (x, i) -> concat_ws(' ', x, element_at({ws_col}, i + 2),"
+        f" element_at({ws_col}, i + 3)))"
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc share of word trigrams that are corpus-UNIQUE (global
     frequency 1) — the inverse of the memorization-risk signal near-dup
@@ -1691,11 +1703,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = d.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 2),"
-                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
-                " element_at(ws, i + 3)))"
-            )
+            _word_trigrams()
         ).alias("tri"),
     )
     freq = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
@@ -1787,11 +1795,7 @@ def q_ngram_novelty_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = d.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 2),"
-                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
-                " element_at(ws, i + 3)))"
-            )
+            _word_trigrams()
         ).alias("tri"),
     )
     samp = tris.where(md5_48(F.col("tri")) < F.lit(_NOV_THRESHOLD))
@@ -1856,11 +1860,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = d.select(
         "source",
         F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 2),"
-                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
-                " element_at(ws, i + 3)))"
-            )
+            _word_trigrams()
         ).alias("tri"),
     ).distinct()
     base = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tri"))
@@ -1943,11 +1943,7 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "source", words_of(F.col("text")).alias("ws")
     ).where(F.size("ws") >= 3)
-    tris = F.expr(
-        "transform(slice(ws, 1, size(ws) - 2),"
-        " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
-        " element_at(ws, i + 3)))"
-    )
+    tris = _word_trigrams()
     hashed = d.select(
         "source", F.transform(tris, lambda t: md5_48(t)).alias("hs")
     )
@@ -1976,10 +1972,6 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_SOURCE_OVERLAP_SKETCH = O_SOURCE_OVERLAP.rstrip().replace(
-    "SELECT source_a, source_b,",
-    "SELECT source_a, source_b,",
-    1,
-).replace(
     "CAST(floor(n_shared * 1000.0 / base.n_tri) AS BIGINT) AS share_permille",
     "CAST(floor(n_shared * 1000.0 / base.n_tri) AS BIGINT) AS share_permille,\n"
     "       CAST(TRUE AS BOOLEAN) AS sketch_in_band",

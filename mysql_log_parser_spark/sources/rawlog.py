@@ -74,19 +74,35 @@ class PosixLogStore:
 class _StoreRangeFile:
     """Minimal unseekable read-only file-like over store.read_range — what
     gzip.GzipFile needs to stream-decompress a member without the task ever
-    holding the whole compressed OR decompressed body."""
+    holding the whole compressed OR decompressed body.
 
-    def __init__(self, store, path: str, size: int):
+    Reads are BUFFERED: gzip's internal reader pulls 8 KiB at a time, and
+    an unbuffered pass-through would issue one store round-trip (file
+    open/seek or object-store range GET) per 8 KiB of compressed data —
+    ~131k GETs for a 1 GB member.  Each store call here fetches
+    `buf_bytes` (4 MiB default) and serves gzip from memory, so round
+    trips scale with compressed size / 4 MiB."""
+
+    _BUF_BYTES = 4 << 20
+
+    def __init__(self, store, path: str, size: int, buf_bytes: int | None = None):
         self._store, self._path, self._size, self._pos = store, path, size, 0
+        self._buf = b""
+        self._buf_bytes = buf_bytes or self._BUF_BYTES
 
     def read(self, n: int = -1) -> bytes:
         if n is None or n < 0:
             n = self._size - self._pos
-        if self._pos >= self._size or n <= 0:
+        if n <= 0:
             return b""
-        buf = self._store.read_range(self._path, self._pos, n)
-        self._pos += len(buf)
-        return buf
+        if len(self._buf) < n and self._pos < self._size:
+            fetch = max(n - len(self._buf), self._buf_bytes)
+            fetch = min(fetch, self._size - self._pos)
+            got = self._store.read_range(self._path, self._pos, fetch)
+            self._pos += len(got)
+            self._buf += got
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
 
     def readable(self) -> bool:
         return True
@@ -125,10 +141,17 @@ def _gz_stream_docs(
                 if not offs:
                     break
                 # largest boundary <= doc_bytes keeps docs ~doc_bytes; if
-                # the first boundary already overshoots, cut there (the doc
-                # is one oversized event run, still bounded by the guard)
+                # the first boundary already overshoots, the run up to it
+                # is ONE event span and the same size contract applies —
+                # raise-or-yield must not depend on read chunk timing
                 at_or_below = [o for o in offs if o <= doc_bytes]
                 cut = at_or_below[-1] if at_or_below else offs[0]
+                if cut > doc_bytes + slack:
+                    raise ValueError(
+                        f"gzip member {path}: event spanning decompressed "
+                        f"offset {base + cut} exceeds chunk_bytes + "
+                        f"overlap = {doc_bytes + slack}; raise overlap"
+                    )
                 yield base, pending[:cut]
                 base += cut
                 pending = pending[cut:]

@@ -97,12 +97,15 @@ class TokensTable:
             return [(int(r["snapshot_id"]), "") for r in rows]
         import os
 
+        # data files only — a stray sidecar (notes, manifest, writer temp)
+        # must not claim a snapshot id and renumber every later chunk's
+        # history (silent duplication/loss on resume)
         files = sorted(
             n
             for n in os.listdir(self.location)
-            if not n.startswith(("_", ".")) and not os.path.isdir(
-                os.path.join(self.location, n)
-            )
+            if n.endswith(".parquet")
+            and not n.startswith(("_", "."))
+            and not os.path.isdir(os.path.join(self.location, n))
         )
         return [(i + 1, n) for i, n in enumerate(files)]
 
@@ -126,11 +129,17 @@ class TokensTable:
         resume loop — process, persist current_snapshot_id(), crash, read
         (saved, current] — runs identically in both deployments."""
         if _has_iceberg(self.spark, self.location):
-            r = self.spark.read.format("iceberg").option(
-                "start-snapshot-id", str(start_snapshot_id)
-            )
-            if end_snapshot_id is not None:
-                r = r.option("end-snapshot-id", str(end_snapshot_id))
+            r = self.spark.read.format("iceberg")
+            if start_snapshot_id == 0:
+                # bootstrap: 0 is the "empty table" checkpoint, not a real
+                # snapshot id — Iceberg would reject start-snapshot-id=0,
+                # so read everything up to `end` (time travel) instead
+                if end_snapshot_id is not None:
+                    r = r.option("snapshot-id", str(end_snapshot_id))
+            else:
+                r = r.option("start-snapshot-id", str(start_snapshot_id))
+                if end_snapshot_id is not None:
+                    r = r.option("end-snapshot-id", str(end_snapshot_id))
             return r.load(self.location)
         import os
 

@@ -147,7 +147,10 @@ def bpe_train_n(
 
     Returns (merged_df, rounds): merged_df has (doc_id, tokens) with merge
     i collapsed to id first_id + i; rounds[i] records
-    {lead, next, new_id, count, seconds}."""
+    {lead, next, new_id, count, seconds}.  merged_df is returned STILL
+    PERSISTED (so consumers don't replay the merge chain) — callers own
+    releasing it via merged_df.unpersist() when done; every earlier
+    generation is already released here."""
     import time
 
     cur = tokens_df.select("doc_id", "tokens")
@@ -173,4 +176,8 @@ def bpe_train_n(
                 "seconds": time.monotonic() - t0,
             }
         )
+    # the final generation is already materialized: its parent is pure
+    # leak from here on (unreachable through the returned plan)
+    if len(persisted) >= 2:
+        persisted[-2].unpersist()
     return cur, rounds

@@ -139,6 +139,17 @@ def test_iceberg_snapshot_range_reader_options():
     TokensTable(fake2, "cat.db.tokens").read_snapshot_range(7)
     assert fake2.read.opts == {"start-snapshot-id": "7"}
 
+    # bootstrap: start=0 is the empty-table checkpoint, not a snapshot id —
+    # Iceberg rejects start-snapshot-id=0, so the read must time-travel to
+    # `end` (or full-scan when end is None) instead
+    fake3 = _FakeSpark()
+    TokensTable(fake3, "cat.db.tokens").read_snapshot_range(0, 20)
+    assert fake3.read.opts == {"snapshot-id": "20"}
+
+    fake4 = _FakeSpark()
+    TokensTable(fake4, "cat.db.tokens").read_snapshot_range(0)
+    assert fake4.read.opts == {}
+
 
 def test_snapshot_resume_dir_backed(spark, tmp_path):
     """The snapshot resume loop on a dir-backed table: process, persist

@@ -593,6 +593,7 @@ def test_ngram_novelty_sketch_prunes_and_stays_in_band(spark):
 
     from mysql_log_parser_spark.entry_queries_textops import (
         _NOV_THRESHOLD,
+        _word_trigrams,
         q_ngram_novelty_sketch,
     )
     from mysql_log_parser_spark.textops.kmv import md5_48
@@ -613,15 +614,7 @@ def test_ngram_novelty_sketch_prunes_and_stays_in_band(spark):
         .select("doc_id", words_of(F.col("text")).alias("ws"))
         .where(F.size("ws") >= 3)
     )
-    tris = d.select(
-        F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 2),"
-                " (x, i) -> concat_ws(' ', x, element_at(ws, i + 2),"
-                " element_at(ws, i + 3)))"
-            )
-        ).alias("tri")
-    )
+    tris = d.select(F.explode(_word_trigrams()).alias("tri"))
     total = tris.count()
     sampled = tris.where(md5_48(F.col("tri")) < F.lit(_NOV_THRESHOLD)).count()
     # RATE=0.25 of the value space; occurrence share drifts with skew but
@@ -651,6 +644,14 @@ def test_token_topk_ascii_precondition_and_values(spark):
         "WHERE octet_length(encode(text)) != length(text)"
     ).fetchone()[0]
     assert non_ascii == 0, "oracle precondition broken: corpus is not ASCII"
+    # the BPE oracles additionally reserve chr(1)..chr(8) as sentinel chars
+    # for merged ids 256..263 — raw control bytes in that range would be
+    # misdecoded as merges that never happened (bpe_train2/bpe_train8)
+    sentinels = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE regexp_matches(text, '[\\x01-\\x08]')"
+    ).fetchone()[0]
+    assert sentinels == 0, "oracle precondition broken: sentinel chars in corpus"
 
     uni = {r["token"]: r["n"] for r in q_token_id_topk(spark, sf).collect()}
     assert uni, "empty unigram table"
