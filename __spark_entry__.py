@@ -55,6 +55,8 @@ _VERIFY_FIRST = [
     "bpe_train8",
     "source_overlap_sketch",
     "ngram_novelty_sketch",
+    "dedup_substring",
+    "bpe_apply",
     # (b) implementation changed after their last green driver row
     "ann_lsh_topk",          # r02 row; Arrow matmul kernel param added (VERDICT r3)
     "semantic_dedup",        # r03 row; centroid kernel='auto' switch added

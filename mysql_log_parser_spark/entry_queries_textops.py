@@ -2094,3 +2094,132 @@ FROM documents
 """
 
 TEXTOPS_QUERIES["tokens_roundtrip"] = (q_tokens_roundtrip, O_TOKENS_ROUNDTRIP)
+
+
+# -- 29. exact-substring span dedup (ExactSubstr) ------------------------------
+
+_SPAN_K = 24
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication audit (ExactSubstr, Lee et al. 2021) over the
+    tokens contract: per doc, how many of its k-token windows occur verbatim
+    in other docs.  Injected id-shifted copies (doc_id % 7) guarantee fully-
+    duplicated docs exist; natural boilerplate in the rendered corpus shows
+    up as partial permille scores.  Plan: explode -> three keyed aggs/joins
+    on the span hash — never all-pairs (textops/dedup.duplicate_span_stats
+    docstring has the 100-TB shape)."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.dedup import duplicate_span_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    base = d.unionByName(dupes).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        EQ.encode_tokens("text").alias("tokens"),
+    )
+    return duplicate_span_stats(base, k=_SPAN_K)
+
+
+# documents.text is ASCII (gate-checked), so unicode(char) == the int32
+# token id from encode_tokens and the oracle can rebuild the exact
+# comma-joined span strings the Spark side hashes.
+O_DEDUP_SUBSTRING = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0
+), el AS (
+  SELECT doc_id, text FROM base WHERE length(text) >= {_SPAN_K}
+), spans AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(
+                   [CAST(unicode(text[i+j:i+j]) AS VARCHAR)
+                    for j in range(0, {_SPAN_K})], ','))
+                 for i in range(1, length(text) - {_SPAN_K} + 2)]) AS span
+  FROM el
+), ds AS (
+  SELECT DISTINCT doc_id, span FROM spans
+), dup AS (
+  SELECT span FROM ds GROUP BY span HAVING count(*) >= 2
+), tot AS (
+  SELECT doc_id, count(*) AS n_spans FROM ds GROUP BY doc_id
+), per AS (
+  SELECT ds.doc_id, count(*) AS n_dup
+  FROM ds JOIN dup USING (span) GROUP BY ds.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(t.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(t.n_spans, 0) = 0 THEN 0
+            ELSE (1000 * COALESCE(p.n_dup, 0)) // t.n_spans END AS dup_permille
+FROM base b
+LEFT JOIN tot t ON b.doc_id = t.doc_id
+LEFT JOIN per p ON b.doc_id = p.doc_id
+"""
+
+TEXTOPS_QUERIES["dedup_substring"] = (q_dedup_substring, O_DEDUP_SUBSTRING)
+
+
+# -- 30. BPE apply (tokenize with a trained merge table) -----------------------
+
+# Fixed ranked merge table for the gate: ('e',' ')->256, (256,'t')->257,
+# ('t','h')->258, (257,258)->259.  Ranks 2 and 4 consume ids minted by
+# earlier ranks, so the rank-order chaining is exercised, not just
+# independent replaces.
+_APPLY_MERGES = [(101, 32, 256), (256, 116, 257), (116, 104, 258), (257, 258, 259)]
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus in ONE shuffle-free
+    Arrow pass (textops/bpe.apply_merges) — the inference-side operator a
+    tokenizer pipeline ships after bpe_train_n: no corpus pass per merge,
+    each sequence folds the ranked merges locally.  The oracle replays the
+    same ranked merges as chained non-overlapping string replaces over a
+    sentinel-char encoding and hash-compares the final id sequences."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.bpe import apply_merges
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    out = apply_merges(d, _APPLY_MERGES)
+    return out.select(
+        "doc_id",
+        "n_before",
+        "n_after",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tokens_merged", lambda t: t.cast("string"))
+            )
+        ).alias("merged_md5"),
+    )
+
+
+# sentinel chars chr(1)..chr(4) <-> ids 256..259 (corpus is ASCII and
+# sentinel-free — both gate-checked in tests/test_textops.py)
+O_BPE_APPLY = """
+WITH t1 AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+         replace(text, 'e ', chr(1)) AS t FROM documents
+), t2 AS (
+  SELECT doc_id, n_before, replace(t, chr(1) || 't', chr(2)) AS t FROM t1
+), t3 AS (
+  SELECT doc_id, n_before, replace(t, 'th', chr(3)) AS t FROM t2
+), t4 AS (
+  SELECT doc_id, n_before, replace(t, chr(2) || chr(3), chr(4)) AS t FROM t3
+)
+SELECT doc_id, n_before, CAST(length(t) AS BIGINT) AS n_after,
+       md5(array_to_string(
+         list_transform(list_filter(string_split(t, ''), c -> c != ''),
+                        c -> CAST(CASE WHEN unicode(c) BETWEEN 1 AND 4
+                                       THEN 255 + unicode(c)
+                                       ELSE unicode(c) END AS VARCHAR)),
+         ',')) AS merged_md5
+FROM t4
+"""
+
+TEXTOPS_QUERIES["bpe_apply"] = (q_bpe_apply, O_BPE_APPLY)

@@ -181,3 +181,47 @@ def bpe_train_n(
     if len(persisted) >= 2:
         persisted[-2].unpersist()
     return cur, rounds
+
+
+def apply_merges(
+    tokens_df: DataFrame, merges: list[tuple[int, int, int]]
+) -> DataFrame:
+    """Tokenize-with-trained-vocab: apply a FULL ranked merge table
+    [(lead, next, new_id), ...] in ONE Arrow pass — the inference-side twin
+    of bpe_train_n, and the operator that actually runs over the 10^12-row
+    corpus once training is done.
+
+    Each sequence applies the merges independently in rank order (merge_one
+    per rank, the same greedy non-overlapping kernel the trainer uses), so
+    the pass is shuffle-free and embarrassingly parallel: no corpus pass per
+    merge, no driver state beyond the merge table itself, cost
+    O(len(merges) * n_tok) per sequence in numpy.  Later ranks may reference
+    ids minted by earlier ranks (that is what makes it BPE).
+
+    Output: (doc_id long, tokens_merged array<int>, n_before long,
+    n_after long)."""
+    ms = [(int(a), int(b), int(n)) for a, b, n in merges]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_tokens, out_before, out_after = [], [], []
+            for a in pdf["tokens"]:
+                m = a
+                for p1, p2, nid in ms:
+                    m = merge_one(m, p1, p2, nid)
+                out_tokens.append(m)
+                out_before.append(len(a))
+                out_after.append(len(m))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "tokens_merged": out_tokens,
+                    "n_before": pd.Series(out_before, dtype="int64"),
+                    "n_after": pd.Series(out_after, dtype="int64"),
+                }
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(
+        run,
+        "doc_id long, tokens_merged array<int>, n_before long, n_after long",
+    )

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -441,4 +441,87 @@ def components_from_pairs(
         F.col("v").alias(id_col),
         F.col("label").alias("component"),
         (F.col("v") == F.col("label")).alias("keep"),
+    )
+
+
+def token_span_keys(tokens: Column, k: int) -> Column:
+    """Fingerprints of every k-token window of a ``tokens array<int32>``
+    column: md5 over the comma-joined token ids of the window.
+
+    One Catalyst ``transform`` over the position sequence (referenced once
+    downstream — the HOF-no-CSE rule); the inner slice+join is plain array
+    codegen, so the whole thing stays JVM-side at O(n_tok * k) chars per row.
+    Caller must guarantee ``size(tokens) >= k`` (``sequence(1, n)`` with
+    n <= 0 would generate a DESCENDING range, not an empty one)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+        lambda p: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(tokens, p, F.lit(k)), lambda t: t.cast("string")
+                ),
+                ",",
+            )
+        ),
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 24,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication audit over token arrays — the ExactSubstr
+    signal from Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"): a doc is suspect in proportion to how many of its
+    k-token windows also occur verbatim in OTHER docs.  Doc-level exact/
+    near dedup misses this (boilerplate headers, license blocks, quoted
+    passages inside otherwise-unique docs); span-level is what catches it.
+
+    Returns one row per input doc: ``n_spans`` (distinct k-token windows),
+    ``n_dup`` (how many of them occur in >= 2 distinct docs), and
+    ``dup_permille`` = 1000*n_dup integer-div n_spans (0 for docs shorter
+    than k tokens).
+
+    Scale shape (the Spark-native stand-in for the paper's suffix array):
+    the span relation is O(total_tokens) rows of (16-byte key, id) — wide
+    input collapsed to a narrow keyed table — and the whole computation is
+    ONE linear pipeline over it (the corpus is scanned and span-hashed
+    exactly once; no self-join, no all-pairs, no recompute of the span
+    derivation per output column): distinct (doc, span) via groupBy, then
+    the per-span doc count as a count-over-Window on the span key, then one
+    groupBy back to the doc.  Short docs ride through as a single null-span
+    row (explode_outer), so no join back to the input is needed.  Skew
+    note: a boilerplate span shared by millions of docs lands in one
+    window partition — it is only COUNTED there (narrow rows, no
+    collection); the null-span partition is bounded by the number of
+    short docs."""
+    toks = F.col(tokens_col)
+    spans_or_empty = F.when(F.size(toks) >= k, token_span_keys(toks, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    doc_spans = (
+        docs.select(F.col(id_col), F.explode_outer(spans_or_empty).alias("span"))
+        .groupBy(id_col, "span")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .drop("_occ")
+    )
+    per = doc_spans.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("span"))
+    )
+    span_ok = F.col("span").isNotNull()
+    out = per.groupBy(id_col).agg(
+        F.sum(F.when(span_ok, 1).otherwise(0)).cast("long").alias("n_spans"),
+        F.sum(F.when(span_ok & (F.col("n_docs") >= 2), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_spans",
+        "n_dup",
+        F.when(F.col("n_spans") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("1000 * n_dup div n_spans"))
+        .alias("dup_permille"),
     )

@@ -827,3 +827,63 @@ def test_resize_images_nearest_neighbor(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.resize_images(media, 8, 4, decoder="pil")
+
+
+def test_duplicate_span_stats_counts_and_short_docs(spark):
+    """duplicate_span_stats: distinct-span counting within a doc, cross-doc
+    duplication detection, zero rows for docs shorter than k, and integer
+    permille; hand-computed expectations on a 4-doc corpus with k=3."""
+    from mysql_log_parser_spark.textops.dedup import duplicate_span_stats
+
+    rows = [
+        # a and b share the window (1,2,3) and (2,3,4); c is unique;
+        # d is shorter than k; e repeats its own span twice (distinct once)
+        ("a", [1, 2, 3, 4]),          # spans: 123, 234
+        ("b", [9, 1, 2, 3, 4]),       # spans: 912, 123, 234
+        ("c", [7, 7, 7, 8]),          # spans: 777, 778
+        ("d", [5, 6]),                # too short -> 0s
+        ("e", [1, 2, 3, 1, 2, 3]),    # spans: 123,231,312,123 -> distinct 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in duplicate_span_stats(df, k=3).collect()}
+    assert len(got) == 5
+    # expected distinct span counts
+    assert got["a"]["n_spans"] == 2 and got["b"]["n_spans"] == 3
+    assert got["c"]["n_spans"] == 2 and got["d"]["n_spans"] == 0
+    assert got["e"]["n_spans"] == 3  # within-doc repeat counted once
+    # (1,2,3) occurs in a, b, e; (2,3,4) in a, b
+    assert got["a"]["n_dup"] == 2        # both of a's spans are shared
+    assert got["b"]["n_dup"] == 2        # 912 is unique to b
+    assert got["c"]["n_dup"] == 0
+    assert got["d"]["n_dup"] == 0 and got["d"]["dup_permille"] == 0
+    assert got["e"]["n_dup"] == 1        # only 123 is cross-doc
+    assert got["a"]["dup_permille"] == 1000
+    assert got["b"]["dup_permille"] == 666   # 2000 div 3
+    assert got["e"]["dup_permille"] == 333
+
+
+def test_apply_merges_equals_sequential_merge_one(spark):
+    """apply_merges: one Arrow pass == folding merge_one per rank, including
+    ranks that consume earlier ranks' minted ids."""
+    import numpy as np
+
+    from mysql_log_parser_spark.textops.bpe import apply_merges, merge_one
+
+    merges = [(1, 2, 256), (256, 3, 257), (257, 257, 258)]
+    rows = [
+        (10, [1, 2, 3, 1, 2, 3]),   # -> 256,3,256,3 -> 257,257 -> 258
+        (11, [1, 2, 1, 2]),         # -> 256,256 (no 3s)
+        (12, [9]),                  # untouched
+        (13, []),                   # empty stays empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r for r in apply_merges(df, merges).collect()}
+    for doc_id, toks in rows:
+        expect = np.asarray(toks, dtype=np.int64)
+        for p1, p2, nid in merges:
+            expect = merge_one(expect, p1, p2, nid)
+        assert list(got[doc_id]["tokens_merged"]) == list(expect), doc_id
+        assert got[doc_id]["n_before"] == len(toks)
+        assert got[doc_id]["n_after"] == len(expect)
+    assert list(got[10]["tokens_merged"]) == [258]
+    assert list(got[11]["tokens_merged"]) == [256, 256]
