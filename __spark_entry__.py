@@ -52,6 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail absorbs any cap (VERDICT r3 "What's missing" #1).
 _VERIFY_FIRST = [
     # (a) new this round, never driver-gated
+    "dsir_weights",
+    "quality_classifier",
+    "ann_ivf_probe2",
     "bpe_train8",
     "source_overlap_sketch",
     "ngram_novelty_sketch",
@@ -101,9 +104,6 @@ _VERIFY_FIRST = [
     "simhash_docs",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
-    "embed_near_dup",
-    "split_assign",
-    "stratified_sample",
 ]
 
 

@@ -2085,3 +2085,113 @@ FROM f GROUP BY source, fingerprint
 """
 
 EXT_QUERIES["slow_rate_corrected"] = (q_rate_corrected, O_RATE_CORRECTED)
+
+
+# -- multi-probe IVF (probe=2): recall path for boundary-straddling queries ----
+
+_IVF_P = 2
+
+
+def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nprobe=2): neighbors index into their single
+    best cell exactly as ann_ivf_topk, but each QUERY searches its top-2
+    cells — the standard recall lever for vectors near a Voronoi boundary
+    (FAISS's nprobe).  Costs probe_count partition-local searches per
+    query instead of one; the corpus is still never broadcast and never
+    self-joined — the wide edge stays keyed by cell id, and only the tiny
+    query side fans out x2.
+
+    The probe ranking (argsort of centroid dots) is one array_sort over a
+    4-struct array built from the SAME fold as the cell assignment, so
+    query and index sides can never disagree on the geometry."""
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dots = F.array(
+        *[
+            F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+            for c in range(_IVF_C)
+        ]
+    )
+    # descending struct sort: best dot first, ties to the smaller cell index
+    ranked = F.reverse(F.array_sort(dots))
+    cells = e.withColumn("_r", ranked)
+    n = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        (-F.element_at("_r", 1).getField("nc")).cast("long").alias("cell"),
+    )
+    q = (
+        cells.where(F.col("vec_id") < _IVF_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.posexplode(F.slice("_r", 1, _IVF_P)),
+        )
+        .select(
+            "query_id",
+            "qv",
+            (F.col("pos") + 1).cast("long").alias("probe_rank"),
+            (-F.col("col").getField("nc")).cast("long").alias("cell"),
+        )
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos6", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "probe_rank", "cell", "neighbor_id", "cos6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _o_ann_ivf_probe2() -> str:
+    cents = _centroid_literals()
+    cands = ", ".join(
+        f"{{'cell': {c}, 'd': list_dot_product(v, {cents[c]})}}"
+        for c in range(_IVF_C)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), du AS (
+  SELECT vec_id, v, unnest([{cands}]) AS c FROM e
+), ranked AS (
+  SELECT vec_id, v, c.cell AS cell, c.d AS d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c.d DESC, c.cell)
+           AS pr
+  FROM du
+), n AS (
+  SELECT vec_id AS neighbor_id, v AS nv, CAST(cell AS BIGINT) AS cell
+  FROM ranked WHERE pr = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, CAST(pr AS BIGINT) AS probe_rank,
+         CAST(cell AS BIGINT) AS cell
+  FROM ranked WHERE vec_id < {_IVF_NQ} AND pr <= {_IVF_P}
+), scored AS (
+  SELECT q.query_id, q.probe_rank, q.cell, n.neighbor_id,
+         round(list_dot_product(q.qv, n.nv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(n.nv, n.nv))), 6) AS cos6
+  FROM n JOIN q USING (cell)
+  WHERE n.neighbor_id != q.query_id
+), rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, probe_rank, cell, neighbor_id, cos6,
+       CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= {_IVF_K}
+"""
+
+
+EXT_QUERIES["ann_ivf_probe2"] = (q_ann_ivf_probe2, _o_ann_ivf_probe2())

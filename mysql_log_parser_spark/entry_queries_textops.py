@@ -2223,3 +2223,123 @@ FROM t4
 """
 
 TEXTOPS_QUERIES["bpe_apply"] = (q_bpe_apply, O_BPE_APPLY)
+
+
+# -- 30. DSIR importance weights (hashed-unigram target/raw mass ratio) --------
+
+_DSIR_B = 256
+_DSIR_TARGETS = ("src0", "src1")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection features (Xie et al. 2023): score every doc by
+    how target-like its hashed-unigram profile is, target = the trusted
+    src0/src1 slice.  Gate emits the exact-integer surface (masses + the
+    permille ratio-of-masses proxy); the float log-likelihood estimator
+    rides the same plan (textops/dsir.with_log_importance) and is
+    unit-tested against a numpy replay instead.
+
+    Scale shape: both distributions are tables bounded at 256 rows —
+    hashed-vocab, never corpus-sized — broadcast back onto the exploded
+    words; the only doc-keyed shuffle is the final per-doc sum."""
+    from mysql_log_parser_spark.textops.dsir import importance_features
+
+    return importance_features(
+        _docs(spark, sf_dir),
+        F.col("source").isin(*_DSIR_TARGETS),
+        n_buckets=_DSIR_B,
+    )
+
+
+def _o_dsir() -> str:
+    targets = ", ".join(f"'{s}'" for s in _DSIR_TARGETS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+         {_hex_to_int('h', 1, 8)} % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, source, md5(word || ':dsir') AS h FROM w)
+), t AS (
+  SELECT bucket, count(*) AS t_cnt FROM b WHERE source IN ({targets})
+  GROUP BY bucket
+), r AS (
+  SELECT bucket, count(*) AS r_cnt FROM b GROUP BY bucket
+), dist AS (
+  SELECT r.bucket, coalesce(t.t_cnt, 0) AS t_cnt, r.r_cnt
+  FROM r LEFT JOIN t USING (bucket)
+), tot AS (
+  SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rr FROM dist
+), pd AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(t_cnt) AS t_mass, sum(r_cnt) AS r_mass
+  FROM b JOIN dist USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(t_mass AS BIGINT) AS t_mass,
+       CAST(r_mass AS BIGINT) AS r_mass,
+       CAST(floor((t_mass * rr * 1000) / (r_mass * tt)) AS BIGINT)
+         AS dsir_permille
+FROM pd, tot
+"""
+
+
+TEXTOPS_QUERIES["dsir_weights"] = (q_dsir_weights, _o_dsir())
+
+
+# -- 31. hashed linear quality classifier (fastText-shape apply pass) ----------
+
+_CLF_B = 4096
+_CLF_BIAS = 2149
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier apply pass — the execution shape of
+    a fastText-style quality filter (CCNet / RefinedWeb / FineWeb): explode
+    words -> md5 bucket -> broadcast-join the bounded weight table ->
+    per-doc integer score -> keep threshold.  Weights are synthesized
+    deterministically from the bucket id so the oracle rebuilds the
+    identical table with generate_series; a trained model's weights ride
+    the exact same plan."""
+    from mysql_log_parser_spark.textops.classifier import (
+        classify_docs,
+        synthetic_weights,
+    )
+
+    return classify_docs(
+        _docs(spark, sf_dir),
+        synthetic_weights(spark, _CLF_B),
+        _CLF_B,
+        bias=_CLF_BIAS,
+    )
+
+
+_O_QUALITY_CLASSIFIER = f"""
+WITH wt AS (
+  SELECT i AS bucket,
+         ({_hex_to_int('h', 1, 8)} % 2001) - 1000 AS weight
+  FROM (SELECT i, md5(CAST(i AS VARCHAR) || ':clfw') AS h
+        FROM generate_series(0, {_CLF_B - 1}) s(i))
+), w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+), b AS (
+  SELECT doc_id, {_hex_to_int('h', 1, 8)} % {_CLF_B} AS bucket
+  FROM (SELECT doc_id, md5(word || ':dsir') AS h FROM w)
+), s AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(coalesce(weight, 0)) + {_CLF_BIAS} AS score
+  FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(score AS BIGINT) AS score, score >= 0 AS keep
+FROM s
+"""
+
+TEXTOPS_QUERIES["quality_classifier"] = (q_quality_classifier, _O_QUALITY_CLASSIFIER)
