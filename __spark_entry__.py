@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "dsir_weights",
     "quality_classifier",
     "ann_ivf_probe2",
+    "slow_snapshot_range",
     "bpe_train8",
     "source_overlap_sketch",
     "ngram_novelty_sketch",
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     "slow_global_sketch",
     "stream_route_counts",
     "stream_stateful_digest",
-    "stream_window_agg",
     "dedup_exact",
     "text_quality",
     "lang_id",

@@ -2195,3 +2195,84 @@ FROM rr WHERE rank <= {_IVF_K}
 
 
 EXT_QUERIES["ann_ivf_probe2"] = (q_ann_ivf_probe2, _o_ann_ivf_probe2())
+
+
+# -- Iceberg snapshot-range incremental parse (resume-from-checkpoint shape) ---
+
+_SNAP_CHUNKS = 5
+_SNAP_SAVED = 2  # checkpoint persisted after the first two appends
+
+
+def q_snapshot_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-resume contract end-to-end through the REAL tokens-table
+    source (sources/tokens_table.py): the corpus is encoded to the input
+    contract (doc_id, tokens array<int32>, n_tok, source) and appended as
+    5 chunk files; a checkpoint persisted current_snapshot_id() == 2 before
+    a crash; the resumed job reads EXACTLY the (2, current] delta via
+    read_snapshot_range — Iceberg's exclusive-start/inclusive-end
+    incremental scan, emulated over the append-only chunk log — and runs
+    parse -> fingerprint -> per-class digest over only those rows.  Rows
+    double-read (committed chunks) or dropped (late appends) flip the
+    oracle hash.  With an Iceberg catalog the same call maps to the native
+    start-snapshot-id scan (ref resume analogue: log/parser/options.go:4,
+    caller-persisted StartOffset)."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from mysql_log_parser_spark.entry_queries import docs_from_events, encode_tokens
+    from mysql_log_parser_spark.functions.fingerprint import with_fingerprint
+    from mysql_log_parser_spark.sources.tokens_table import TokensTable
+
+    loc = tempfile.mkdtemp(prefix="mlp_snap_")
+    atexit.register(shutil.rmtree, loc, ignore_errors=True)
+    toks = (
+        docs_from_events(spark, sf_dir)
+        .select(
+            "doc_id",
+            encode_tokens("text").alias("tokens"),
+            "source",
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+    dnum = F.substring("doc_id", 2, 18).cast("long")
+    for i in range(_SNAP_CHUNKS):
+        # append chunk i as ONE data file named in append order (the layout
+        # every writer in this repo produces; sandbox stand-in for an
+        # Iceberg append commit)
+        stage = f"{loc}/_stage"
+        toks.where(F.pmod(dnum, F.lit(_SNAP_CHUNKS)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        os.replace(part, f"{loc}/c{i:03d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+
+    t = TokensTable(spark, loc)
+    assert t.current_snapshot_id() == _SNAP_CHUNKS
+    delta = t.read_snapshot_range(_SNAP_SAVED)  # (saved, current]
+    ev = promote_metrics(with_fingerprint(parse_slowlog(delta)))
+    return ev.groupBy("class_id").agg(
+        F.first("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).alias("total_queries"),
+        F.sum(F.col("query_time").cast("double")).alias("qt_sum"),
+        F.sum("rows_examined").alias("rex_sum"),
+    )
+
+
+# chunk i holds docs with dnum % 5 == i and becomes snapshot id i+1, so the
+# (2, 5] delta is exactly dnum % 5 IN (2, 3, 4)
+O_SNAPSHOT_RANGE = _ORACLE_EVENTS_CTE + f"""
+SELECT upper(substr(md5(fingerprint), 17, 16)) AS class_id,
+       fingerprint,
+       count(*) AS total_queries,
+       sum(qt) AS qt_sum,
+       CAST(sum(rows_examined) AS BIGINT) AS rex_sum
+FROM e
+WHERE CAST(substr(doc_id, 2) AS BIGINT) % {_SNAP_CHUNKS} > {_SNAP_SAVED - 1}
+GROUP BY fingerprint
+"""
+
+EXT_QUERIES["slow_snapshot_range"] = (q_snapshot_range, O_SNAPSHOT_RANGE)
