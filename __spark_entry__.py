@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "quality_classifier",
     "ann_ivf_probe2",
     "slow_snapshot_range",
+    "ann_ivfpq_adc",
     "bpe_train8",
     "source_overlap_sketch",
     "ngram_novelty_sketch",
@@ -97,7 +98,6 @@ _VERIFY_FIRST = [
     "slow_global_sketch",
     "stream_route_counts",
     "stream_stateful_digest",
-    "dedup_exact",
     "text_quality",
     "lang_id",
     "token_stats",

@@ -2276,3 +2276,135 @@ GROUP BY fingerprint
 """
 
 EXT_QUERIES["slow_snapshot_range"] = (q_snapshot_range, O_SNAPSHOT_RANGE)
+
+
+# -- IVF-PQ with asymmetric distance (the FAISS IVFADC layout, probe=1) --------
+
+_PQ_M = 4    # subspaces
+_PQ_KS = 8   # centroids per subspace codebook
+
+
+def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 / FAISS IVFADC): vectors live in the
+    index as a coarse cell id + M=4 one-byte PQ codes instead of d=64
+    floats — the memory layout that makes 10^11-vector search possible —
+    and queries score candidates through a per-query ADC lookup table
+    (M arrays of Ks true squared distances), so the per-pair work is M
+    array lookups and M-1 adds, no float vector math at all.
+
+    Plan: encode + cell-assign are one narrow codegen map over the
+    embeddings scan; the tiny query side (8 rows, carrying their LUTs)
+    broadcasts into the query's cell; top-k by ADC distance ascending.
+    Codebooks are deterministic literals here (k-means trains real ones);
+    codes are raw-vector encodings, not cell residuals — see
+    textops/pq.py for both caveats and the Arrow-kernel scale path."""
+    from mysql_log_parser_spark.textops.pq import (
+        adc_distance,
+        adc_lut_cols,
+        pq_code_cols,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    n = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
+    )
+    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "cell", *adc_lut_cols(F.col("v"), books)
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc6", F.round(adc_distance(_PQ_M), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "cell", "neighbor_id",
+            *[f"code{s}" for s in range(_PQ_M)],
+            "adc6", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _o_ann_ivfpq() -> str:
+    from mysql_log_parser_spark.textops.pq import pq_codebooks
+
+    books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
+    cents = _centroid_literals()
+    sub = _IVF_DIM // _PQ_M
+    dots = ", ".join(f"list_dot_product(v, {cents[c]}) AS d{c}" for c in range(_IVF_C))
+    cell = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+
+    def cand(col: str, s: int, ci: int) -> str:
+        c = books[s][ci]
+        cc = sum(x * x for x in c)
+        return (
+            f"list_dot_product({col}[{s * sub + 1}:{(s + 1) * sub}], {c})"
+            f" * -2.0 + {cc!r}"
+        )
+
+    codes = ", ".join(
+        "CAST(list_sort(["
+        + ", ".join(f"{{'d': {cand('v', s, ci)}, 'c': {ci}}}" for ci in range(_PQ_KS))
+        + f"])[1].c AS BIGINT) AS code{s}"
+        for s in range(_PQ_M)
+    )
+    # LUT entry: ((dot * -2.0 + cc) + qq_s), qq_s = |q_m|^2 — identical
+    # parenthesization to pq.adc_lut_cols
+    luts = []
+    for s in range(_PQ_M):
+        qq = f"list_dot_product(q.v[{s * sub + 1}:{(s + 1) * sub}], q.v[{s * sub + 1}:{(s + 1) * sub}])"
+        lut = "[" + ", ".join(f"({cand('q.v', s, ci)}) + {qq}" for ci in range(_PQ_KS)) + "]"
+        luts.append(f"({lut})[n.code{s} + 1]")
+    adc = f"((({luts[0]}) + ({luts[1]})) + ({luts[2]})) + ({luts[3]})"
+    code_cols = ", ".join(f"n.code{s}" for s in range(_PQ_M))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), d AS (
+  SELECT vec_id, v, {dots} FROM e
+), cells AS (
+  SELECT vec_id, v, CAST({cell} AS BIGINT) AS cell FROM d
+), coded AS (
+  SELECT vec_id, v, cell, {codes} FROM cells
+), scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, n.vec_id AS neighbor_id,
+         {code_cols},
+         round({adc}, 6) AS adc6
+  FROM coded n JOIN cells q USING (cell)
+  WHERE q.vec_id < {_IVF_NQ} AND n.vec_id != q.vec_id
+), rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc6, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, {', '.join(f'code{s}' for s in range(_PQ_M))},
+       adc6, CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= {_IVF_K}
+"""
+
+
+EXT_QUERIES["ann_ivfpq_adc"] = (q_ann_ivfpq_adc, _o_ann_ivfpq())

@@ -310,3 +310,25 @@ def test_round3_queries_no_rowwise_python(spark):
     # multimodal_resize: kernel is mapInPandas by design
     plan = _plan(reg["multimodal_resize"][0](spark, sf))
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_round4_queries_no_rowwise_python(spark):
+    """Round-4 lazy gate queries: no BatchEvalPython in any plan, and the
+    classifier/DSIR weight joins broadcast (bounded model tables never put
+    a corpus-wide exchange on the hot path)."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
+    from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    reg = dict(TEXTOPS_QUERIES)
+    reg.update(EXT_QUERIES)
+    for name in ["dsir_weights", "quality_classifier", "ann_ivf_probe2",
+                 "ann_ivfpq_adc"]:
+        plan = _plan(reg[name][0](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+    plan = _plan(reg["quality_classifier"][0](spark, sf))
+    assert "BroadcastHashJoin" in plan
