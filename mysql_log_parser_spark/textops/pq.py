@@ -125,3 +125,66 @@ def adc_distance(m: int) -> Column:
     for s in range(1, m):
         expr = expr + F.element_at(F.col(f"lut{s}"), (F.col(f"code{s}") + 1).cast("int"))
     return expr
+
+
+def pq_encode_arrow(
+    df, books: list[list[list[float]]], vec_col: str = "v", prefix: str = "code"
+):
+    """Arrow-kernel PQ encoder — the production path once M*Ks*sub literals
+    would blow past the Catalyst tree (same switch threshold as the
+    centroid/hyperplane kernels, textops/similarity._ARROW_LITERAL_SWITCH):
+    one mapInPandas pass computes all M argmins per batch as numpy matmuls
+    (-2 V_m @ C_m^T + |c|^2, argmin per row; np.argmin takes the first
+    minimum, matching the Catalyst tie-break to the smallest code).  Plan
+    size is O(1) in M, Ks, and dim; the codebook rides the closure, not
+    the plan."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = len(books)
+    sub = len(books[0][0])
+    mats = [np.asarray(b, dtype=np.float64) for b in books]  # (Ks, sub) each
+    ccs = [np.sum(c * c, axis=1) for c in mats]
+    # Fresh StructType: StructType.add mutates in place, and df.schema is the
+    # DataFrame's cached schema object — mutating it desyncs df.columns.
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{s}", IntegerType()) for s in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            for s in range(m):
+                vm = v[:, s * sub : (s + 1) * sub]
+                dist = -2.0 * (vm @ mats[s].T) + ccs[s]
+                pdf[f"{prefix}{s}"] = np.argmin(dist, axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def pq_encode(
+    df,
+    books: list[list[list[float]]],
+    vec_col: str = "v",
+    prefix: str = "code",
+    kernel: str = "auto",
+):
+    """Append the M PQ code columns.  kernel='catalyst' is the literal-fold
+    form the DuckDB oracle replays digit-for-digit; 'arrow' is the
+    constant-plan-size matmul form for production M*Ks*dim; 'auto' switches
+    on the literal-count threshold shared with the other ANN kernels."""
+    from mysql_log_parser_spark.textops.similarity import _ARROW_LITERAL_SWITCH
+
+    m = len(books)
+    ks = len(books[0])
+    sub = len(books[0][0])
+    if kernel == "auto":
+        kernel = "arrow" if m * ks * sub >= _ARROW_LITERAL_SWITCH else "catalyst"
+    if kernel == "arrow":
+        return pq_encode_arrow(df, books, vec_col, prefix)
+    cols = pq_code_cols(F.col(vec_col), books)
+    return df.select("*", *[c.cast("int").alias(f"{prefix}{s}") for s, c in enumerate(cols)])

@@ -85,3 +85,44 @@ def test_pq_memory_is_m_codes(spark, vecs):
     assert [f.dataType.simpleString() for f in n.schema.fields] == ["bigint"] + ["int"] * 4
     codes = n.select(*[F.max(f"code{s}") for s in range(4)]).collect()[0]
     assert all(c <= 7 for c in codes)
+
+
+def test_pq_arrow_kernel_matches_catalyst(spark):
+    """Both encoder kernels must emit identical codes on real embeddings —
+    the same parity contract the centroid/hyperplane kernels carry."""
+    import os
+
+    from mysql_log_parser_spark.textops.pq import pq_codebooks, pq_encode
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    books = pq_codebooks(m=4, ks=8, dim=64)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = {
+        r["vec_id"]: tuple(r[f"code{s}"] for s in range(4))
+        for r in pq_encode(e, books, kernel="catalyst").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r[f"code{s}"] for s in range(4))
+        for r in pq_encode(e, books, kernel="arrow").collect()
+    }
+    assert a == b
+    plan = pq_encode(e, books, kernel="arrow")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_pq_auto_switch(spark):
+    from mysql_log_parser_spark.textops.pq import pq_codebooks, pq_encode
+
+    df = spark.createDataFrame([(1, [0.1] * 16)], ["vid", "v"])
+    small = pq_encode(df, pq_codebooks(4, 8, 16), kernel="auto")
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    big = pq_encode(
+        spark.createDataFrame([(1, [0.1] * 512)], ["vid", "v"]),
+        pq_codebooks(8, 16, 512),
+        kernel="auto",
+    )
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
