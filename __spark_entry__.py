@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail absorbs any cap (VERDICT r3 "What's missing" #1).
 _VERIFY_FIRST = [
     # (a) new this round, never driver-gated
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
     "dsir_weights",
     "quality_classifier",
     "ann_ivf_probe2",

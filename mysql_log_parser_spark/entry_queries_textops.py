@@ -2343,3 +2343,160 @@ FROM s
 """
 
 TEXTOPS_QUERIES["quality_classifier"] = (q_quality_classifier, _O_QUALITY_CLASSIFIER)
+
+
+# -- 32. winnowing fingerprints (MOSS local fingerprinting) ---------------------
+
+_WN_K = 5   # k-gram length
+_WN_W = 4   # winnowing window -> guarantee threshold t = K + W - 1 = 8
+_WN_POSCAP = 1 << 20
+_WN_DF_CAP = 8    # dup-pair prefilter: drop fingerprints in > CAP docs
+_WN_SHARED = 10   # dup-pair report threshold
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc digest of the winnowed fingerprint set (Schleimer et al.
+    2003; textops/winnow.py).  Gated through the PRODUCTION arrow kernel
+    (per-doc-local numpy selection, zero shuffle before the groupBy — the
+    heavy_hitters precedent of gating a kernel against an exact SQL
+    oracle); the catalyst twin is parity-tested in tests/test_winnow.py.
+    The digest (count + fp/pos sums) pins both the selected hash VALUES
+    and the rightmost-min POSITIONS without shipping 60k rows through
+    the gate."""
+    from mysql_log_parser_spark.textops.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=_WN_K, w=_WN_W, kernel="arrow",
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("fp").alias("fp_sum"),
+        F.sum("pos").alias("pos_sum"),
+    )
+
+
+def _o_winnow_fps() -> str:
+    """Winnowing in pure SQL: explode k-gram positions, window min over the
+    combined (hash, complemented-pos) bigint, distinct decode."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {_WN_K + _WN_W - 1}
+), g AS (
+  SELECT doc_id, length(text) - {_WN_K} + 1 AS npos,
+         unnest(range(1, length(text) - {_WN_K} + 2)) AS i, text
+  FROM d
+), hx AS (
+  SELECT doc_id, npos, i, md5(substr(text, i, {_WN_K})) AS h FROM g
+), c AS (
+  SELECT doc_id, npos, i,
+         {_hex_to_int('h', 1, 8)} * {_WN_POSCAP} + ({_WN_POSCAP - 1} - i) AS c
+  FROM hx
+), sel AS (
+  SELECT doc_id, npos, i,
+         min(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS s
+  FROM c
+), fps AS (
+  SELECT DISTINCT doc_id, s // {_WN_POSCAP} AS fp,
+         {_WN_POSCAP - 1} - (s % {_WN_POSCAP}) AS pos
+  FROM sel WHERE i <= npos - {_WN_W - 1}
+)
+"""
+
+
+O_WINNOW_FPS = _o_winnow_fps() + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(fp) AS BIGINT) AS fp_sum, CAST(sum(pos) AS BIGINT) AS pos_sum
+FROM fps GROUP BY doc_id
+"""
+
+TEXTOPS_QUERIES["winnow_fingerprints"] = (q_winnow_fingerprints, O_WINNOW_FPS)
+
+
+# -- 33. winnowing dup pairs (substring-level containment mining) ---------------
+
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing >= {t} winnowed fingerprints — the substring-level dup
+    miner winnowing exists for: any shared run of >= k+w-1 chars leaves a
+    shared fingerprint, so mutated near-copies (here: every 5th doc
+    re-injected with an appended tail, the minhash-gate mutation) surface
+    even though their full-doc hashes differ.  Shape: fingerprint table ->
+    document-frequency prefilter (df <= {cap}, dropping boilerplate
+    k-grams so no bucket fans out — the LSH-band cap discipline) ->
+    self-join on fp -> pair count.  Never an all-pairs product; the join
+    key is the fingerprint, whose per-key width is bounded by the cap.
+    """
+    from mysql_log_parser_spark.textops.winnow import winnow_fingerprints
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq winnow tail")).alias("text"),
+    )
+    fps = (
+        winnow_fingerprints(d.unionByName(mut), k=_WN_K, w=_WN_W, kernel="arrow")
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _WN_DF_CAP
+    )
+    fz = fps.join(keep.select("fp"), "fp")
+    a, b = fz.alias("a"), fz.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _WN_SHARED)
+    )
+
+
+q_winnow_dup_pairs.__doc__ = q_winnow_dup_pairs.__doc__.format(
+    t=_WN_SHARED, cap=_WN_DF_CAP
+)
+
+
+def _o_winnow_pairs() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz qqq winnow tail'
+  FROM documents WHERE doc_id % 5 = 0
+), d AS (
+  SELECT doc_id, text FROM corpus WHERE length(text) >= {_WN_K + _WN_W - 1}
+), g AS (
+  SELECT doc_id, length(text) - {_WN_K} + 1 AS npos,
+         unnest(range(1, length(text) - {_WN_K} + 2)) AS i, text
+  FROM d
+), hx AS (
+  SELECT doc_id, npos, i, md5(substr(text, i, {_WN_K})) AS h FROM g
+), c AS (
+  SELECT doc_id, npos, i,
+         {_hex_to_int('h', 1, 8)} * {_WN_POSCAP} + ({_WN_POSCAP - 1} - i) AS c
+  FROM hx
+), sel AS (
+  SELECT doc_id, npos, i,
+         min(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS s
+  FROM c
+), fps AS (
+  SELECT DISTINCT doc_id, s // {_WN_POSCAP} AS fp
+  FROM sel WHERE i <= npos - {_WN_W - 1}
+), keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WN_DF_CAP}
+), fz AS (
+  SELECT doc_id, fp FROM fps JOIN keep USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM fz a JOIN fz b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WN_SHARED}
+"""
+
+
+TEXTOPS_QUERIES["winnow_dup_pairs"] = (q_winnow_dup_pairs, _o_winnow_pairs())
