@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "ann_ivf_probe2",
     "slow_snapshot_range",
     "ann_ivfpq_adc",
+    "ann_ivfpq_rerank",
     "bpe_train8",
     "source_overlap_sketch",
     "ngram_novelty_sketch",

@@ -2345,6 +2345,81 @@ def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_R = 16  # ADC shortlist width feeding the exact rerank
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ search (FAISS refine / IndexRefineFlat): stage 1
+    shortlists the top R={r} candidates per query by compressed ADC
+    distance (codes only — no float vectors touched), stage 2 fetches the
+    R exact vectors and reranks by true cosine to return top k.  This is
+    how production PQ deployments recover the recall the 8-byte codes give
+    up: the exact pass touches R rows per query instead of the cell.
+
+    Plan: the shortlist is NQ x R rows -> BROADCAST into the vec_id join
+    against the full-vector table, so stage 2 is one broadcast hash join +
+    a tiny window — the corpus is only ever scanned once (stage 1)."""
+    from mysql_log_parser_spark.textops.pq import (
+        adc_distance,
+        adc_lut_cols,
+        pq_code_cols,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    n = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
+    )
+    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.col("v").alias("qv"), *adc_lut_cols(F.col("v"), books)
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc6", F.round(adc_distance(_PQ_M), 6))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc6"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("adc_rank", F.row_number().over(wa))
+        .where(F.col("adc_rank") <= _PQ_R)
+        .select("query_id", "neighbor_id", "adc_rank", "qv")
+    )
+    exact = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    ).join(F.broadcast(short), "neighbor_id")
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("cos6", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("adc_rank").cast("long").alias("adc_rank"),
+            "cos6", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+q_ann_ivfpq_rerank.__doc__ = q_ann_ivfpq_rerank.__doc__.format(r=_PQ_R)
+
+
 def _o_ann_ivfpq() -> str:
     from mysql_log_parser_spark.textops.pq import pq_codebooks
 
@@ -2408,3 +2483,32 @@ FROM rr WHERE rank <= {_IVF_K}
 
 
 EXT_QUERIES["ann_ivfpq_adc"] = (q_ann_ivfpq_adc, _o_ann_ivfpq())
+
+
+def _o_ann_ivfpq_rerank() -> str:
+    """Same CTE chain as _o_ann_ivfpq through the ADC ranking `rr`, then
+    the exact-cosine rerank over the top-R shortlist (identical cosine
+    expression + tie-breaks as _o_ann_ivf)."""
+    base = _o_ann_ivfpq()
+    ctes = base[: base.index("SELECT query_id, cell, neighbor_id,")]
+    return ctes + f""", ex AS (
+  SELECT r.query_id, r.neighbor_id, r.rank AS adc_rank,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cos6
+  FROM rr r
+  JOIN cells q ON q.vec_id = r.query_id
+  JOIN cells n ON n.vec_id = r.neighbor_id
+  WHERE r.rank <= {_PQ_R}
+), rr2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM ex
+)
+SELECT query_id, neighbor_id, CAST(adc_rank AS BIGINT) AS adc_rank,
+       cos6, CAST(rank AS BIGINT) AS rank
+FROM rr2 WHERE rank <= {_IVF_K}
+"""
+
+
+EXT_QUERIES["ann_ivfpq_rerank"] = (q_ann_ivfpq_rerank, _o_ann_ivfpq_rerank())
