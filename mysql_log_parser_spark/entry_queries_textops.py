@@ -2352,6 +2352,12 @@ _WN_W = 4   # winnowing window -> guarantee threshold t = K + W - 1 = 8
 _WN_POSCAP = 1 << 20
 _WN_DF_CAP = 8    # dup-pair prefilter: drop fingerprints in > CAP docs
 _WN_SHARED = 10   # dup-pair report threshold
+# pair mining wants DISTINCTIVE k-grams: at k=5 the synthetic corpus's shared
+# vocabulary puts the median fingerprint in 34 docs and the df cap (rightly)
+# drops them all — k=12/w=8 (guarantee threshold t=19 chars) concentrates df
+# at 1-2 and surfaces 95/100 injected near-copies at sf0.01.
+_WNP_K = 12
+_WNP_W = 8
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2435,7 +2441,7 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zzz qqq winnow tail")).alias("text"),
     )
     fps = (
-        winnow_fingerprints(d.unionByName(mut), k=_WN_K, w=_WN_W, kernel="arrow")
+        winnow_fingerprints(d.unionByName(mut), k=_WNP_K, w=_WNP_W, kernel="arrow")
         .select("doc_id", "fp")
         .distinct()
     )
@@ -2468,13 +2474,13 @@ WITH corpus AS (
   SELECT doc_id + 100000, text || ' zzz qqq winnow tail'
   FROM documents WHERE doc_id % 5 = 0
 ), d AS (
-  SELECT doc_id, text FROM corpus WHERE length(text) >= {_WN_K + _WN_W - 1}
+  SELECT doc_id, text FROM corpus WHERE length(text) >= {_WNP_K + _WN_W - 1}
 ), g AS (
-  SELECT doc_id, length(text) - {_WN_K} + 1 AS npos,
-         unnest(range(1, length(text) - {_WN_K} + 2)) AS i, text
+  SELECT doc_id, length(text) - {_WNP_K} + 1 AS npos,
+         unnest(range(1, length(text) - {_WNP_K} + 2)) AS i, text
   FROM d
 ), hx AS (
-  SELECT doc_id, npos, i, md5(substr(text, i, {_WN_K})) AS h FROM g
+  SELECT doc_id, npos, i, md5(substr(text, i, {_WNP_K})) AS h FROM g
 ), c AS (
   SELECT doc_id, npos, i,
          {_hex_to_int('h', 1, 8)} * {_WN_POSCAP} + ({_WN_POSCAP - 1} - i) AS c
@@ -2482,11 +2488,11 @@ WITH corpus AS (
 ), sel AS (
   SELECT doc_id, npos, i,
          min(c) OVER (PARTITION BY doc_id ORDER BY i
-                      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS s
+                      ROWS BETWEEN CURRENT ROW AND {_WNP_W - 1} FOLLOWING) AS s
   FROM c
 ), fps AS (
   SELECT DISTINCT doc_id, s // {_WN_POSCAP} AS fp
-  FROM sel WHERE i <= npos - {_WN_W - 1}
+  FROM sel WHERE i <= npos - {_WNP_W - 1}
 ), keep AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WN_DF_CAP}
 ), fz AS (
