@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     # (a) new this round, never driver-gated
     "winnow_fingerprints",
     "winnow_dup_pairs",
+    "mix_temperature",
     "dsir_weights",
     "quality_classifier",
     "ann_ivf_probe2",

@@ -2506,3 +2506,41 @@ GROUP BY 1, 2 HAVING count(*) >= {_WN_SHARED}
 
 
 TEXTOPS_QUERIES["winnow_dup_pairs"] = (q_winnow_dup_pairs, _o_winnow_pairs())
+
+
+# -- 34. temperature-scaled source mixing weights -------------------------------
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the per-source mixing weights mix_upsample consumes:
+    p_s ~ n_s^0.5 exponential smoothing (textops/sampling.temperature_mix)
+    — natural share, temperature share, and the realizing upsample factor,
+    all exact integer permille."""
+    from mysql_log_parser_spark.textops.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), alpha=0.5)
+
+
+O_MIX_TEMPERATURE = """
+WITH w AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '')) AS n_tok
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM w GROUP BY source
+), m AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS s_mass
+  FROM per_src
+), t AS (
+  SELECT sum(n_tokens) AS _t, sum(s_mass) AS _sm FROM m
+)
+SELECT source, n_docs, n_tokens,
+       CAST((1000 * n_tokens) // _t AS BIGINT) AS share_permille,
+       CAST((1000 * s_mass) // _sm AS BIGINT) AS temp_share_permille,
+       CAST((1000 * s_mass * _t) // (_sm * n_tokens) AS BIGINT) AS factor_permille
+FROM m, t
+"""
+
+TEXTOPS_QUERIES["mix_temperature"] = (q_mix_temperature, O_MIX_TEMPERATURE)

@@ -212,3 +212,55 @@ def take_token_budget(
         docs.withColumn("cum_tok", cum)
         .where(F.col("cum_tok") <= budget)
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights: p_s proportional to
+    n_s^alpha (multilingual-pretraining standard — mBERT/XLM-R's
+    exponential smoothing; alpha=1 keeps the natural mix, alpha->0
+    approaches uniform).  Emits, per source, the token count, the natural
+    and temperature-scaled shares, and the per-source upsample factor
+    w_s = p_s * T / n_s that `upsample` consumes to realize the mix.
+
+    Exactness: shares/factors are integer permille.  At alpha=0.5 the
+    scaled mass uses sqrt (IEEE-correctly-rounded in every engine, so
+    floor(sqrt(n)*1000) is bit-deterministic); other alphas go through
+    pow(), which is NOT correctly rounded — fine for production, but the
+    oracle gate pins alpha=0.5.  Integer products stay under 2**63 for
+    corpora up to ~10^12 tokens per source at permille resolution; past
+    that, drop one permille digit.
+
+    Scale shape: one partial-agg groupBy(source) (source cardinality is
+    tiny), a single-row total broadcast back — nothing else touches the
+    corpus."""
+    if alpha == 0.5:
+        scaled = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000).cast("long")
+    else:
+        scaled = F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1000
+        ).cast("long")
+    from mysql_log_parser_spark.textops.quality import words_of
+
+    per_src = (
+        docs.select(F.col(source_col).alias("source"),
+                    F.size(words_of(F.col(text_col))).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .withColumn("s_mass", scaled)
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_t"), F.sum("s_mass").alias("_sm")
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * n_tokens) DIV _t").alias("share_permille"),
+        F.expr("(1000 * s_mass) DIV _sm").alias("temp_share_permille"),
+        F.expr("(1000 * s_mass * _t) DIV (_sm * n_tokens)").alias("factor_permille"),
+    )

@@ -887,3 +887,21 @@ def test_apply_merges_equals_sequential_merge_one(spark):
         assert got[doc_id]["n_after"] == len(expect)
     assert list(got[10]["tokens_merged"]) == [258]
     assert list(got[11]["tokens_merged"]) == [256, 256]
+
+
+def test_temperature_mix_flattens(spark):
+    """alpha=0.5 must move every source's share toward uniform: sources
+    below the natural mean gain share, sources above lose it, and the
+    upsample factors realize exactly that direction."""
+    from mysql_log_parser_spark.textops.sampling import temperature_mix
+
+    rows = [(i, "x " * (10 if s == "small" else 1000), s)
+            for s in ("small", "big") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r.asDict() for r in temperature_mix(docs).collect()}
+    assert out["small"]["temp_share_permille"] > out["small"]["share_permille"]
+    assert out["big"]["temp_share_permille"] < out["big"]["share_permille"]
+    assert out["small"]["factor_permille"] > 1000   # upsampled
+    assert out["big"]["factor_permille"] < 1000     # downsampled
+    # shares stay a (permille-floored) distribution
+    assert 995 <= out["small"]["temp_share_permille"] + out["big"]["temp_share_permille"] <= 1000
