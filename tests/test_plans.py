@@ -332,3 +332,28 @@ def test_round4_queries_no_rowwise_python(spark):
         assert "BatchEvalPython" not in plan, name
     plan = _plan(reg["quality_classifier"][0](spark, sf))
     assert "BroadcastHashJoin" in plan
+
+
+def test_round4b_queries_plan_shape(spark):
+    """Second round-4 batch: the IVF-PQ rerank keeps BOTH stages on
+    broadcast joins (shortlist is NQ x R rows — a sort-merge there would
+    mean the corpus is on the wrong side), mix_temperature broadcasts its
+    single-row totals, and none of the batch row-wises Python."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
+    from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    reg = dict(TEXTOPS_QUERIES)
+    reg.update(EXT_QUERIES)
+    for name in ["ann_ivfpq_rerank", "mix_temperature",
+                 "winnow_fingerprints", "winnow_dup_pairs"]:
+        plan = _plan(reg[name][0](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+    rerank = _plan(reg["ann_ivfpq_rerank"][0](spark, sf))
+    assert rerank.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in rerank
+    mix = _plan(reg["mix_temperature"][0](spark, sf))
+    assert "BroadcastNestedLoopJoin" in mix or "BroadcastHashJoin" in mix
