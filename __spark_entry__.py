@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "slow_snapshot_range",
     "ann_ivfpq_adc",
     "ann_ivfpq_rerank",
+    "ann_pq_recall",
     "bpe_train8",
     "source_overlap_sketch",
     "ngram_novelty_sketch",

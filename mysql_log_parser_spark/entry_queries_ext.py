@@ -2420,7 +2420,10 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ann_ivfpq_rerank.__doc__ = q_ann_ivfpq_rerank.__doc__.format(r=_PQ_R)
 
 
-def _o_ann_ivfpq() -> str:
+def _ivfpq_sql_parts() -> dict:
+    """Shared SQL fragments for the IVF-PQ oracle family: the per-subspace
+    code argmins, the per-query ADC expression (identical parenthesization
+    to pq.adc_lut_cols/adc_distance), and the cell CASE."""
     from mysql_log_parser_spark.textops.pq import pq_codebooks
 
     books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
@@ -2455,6 +2458,14 @@ def _o_ann_ivfpq() -> str:
         lut = "[" + ", ".join(f"({cand('q.v', s, ci)}) + {qq}" for ci in range(_PQ_KS)) + "]"
         luts.append(f"({lut})[n.code{s} + 1]")
     adc = f"((({luts[0]}) + ({luts[1]})) + ({luts[2]})) + ({luts[3]})"
+    return {"dots": dots, "cell": cell, "codes": codes, "adc": adc}
+
+
+def _o_ann_ivfpq() -> str:
+    parts = _ivfpq_sql_parts()
+    dots, cell, codes, adc = (
+        parts["dots"], parts["cell"], parts["codes"], parts["adc"]
+    )
     code_cols = ", ".join(f"n.code{s}" for s in range(_PQ_M))
     return f"""
 WITH e AS (
@@ -2512,3 +2523,120 @@ FROM rr2 WHERE rank <= {_IVF_K}
 
 
 EXT_QUERIES["ann_ivfpq_rerank"] = (q_ann_ivfpq_rerank, _o_ann_ivfpq_rerank())
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality audit: recall@k of the compressed ADC ranking
+    against the exact-cosine ranking over the SAME cell candidates — the
+    regression metric a production ANN deployment tracks per index build
+    (isolates quantization loss from cell-assignment loss, since both
+    rankings see identical candidate sets).  Per query: |ADC-topk ∩
+    exact-topk| and integer-permille recall.
+
+    Plan: one corpus scan builds cells+codes; both rankings are windows
+    over the same broadcast-joined candidate stream; the final overlap is
+    a join of two k-row-per-query tables.
+
+    Expected values at gate dims are LOW (0-400 permille): the synthetic
+    embeddings are near-random, so M=4 one-byte codes retain almost no
+    ordering signal — which is precisely the regression this audit exists
+    to surface, and precisely why ann_ivfpq_rerank refines with exact
+    distances.  Real clustered embeddings + residual encoding land much
+    higher; the metric, not its value, is the operator."""
+    from mysql_log_parser_spark.textops.pq import (
+        adc_distance,
+        adc_lut_cols,
+        pq_code_cols,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    n = cells.select(
+        F.col("vec_id").alias("neighbor_id"), "cell", F.col("v").alias("nv"),
+        *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
+    )
+    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.col("v").alias("qv"), *adc_lut_cols(F.col("v"), books)
+    )
+    cand = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc6", F.round(adc_distance(_PQ_M), 6))
+        .withColumn("cos6", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc6"), F.asc("neighbor_id"))
+    wx = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    ranked = cand.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(wa).alias("adc_rank"),
+        F.row_number().over(wx).alias("exact_rank"),
+    )
+    overlap = (
+        ranked.where(
+            (F.col("adc_rank") <= _IVF_K) & (F.col("exact_rank") <= _IVF_K)
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        q.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"(1000 * coalesce(n_overlap, 0)) DIV {_IVF_K}")
+            .cast("long").alias("recall_permille"),
+        )
+    )
+
+
+def _o_ann_pq_recall() -> str:
+    """Shares _o_ann_ivfpq's CTE chain through `scored`, adds the exact
+    cosine next to the ADC distance, ranks both, counts the top-k overlap."""
+    base = _o_ann_ivfpq()
+    ctes = base[: base.index("), scored AS (")]
+    adc = _ivfpq_sql_parts()["adc"]
+    return ctes + f"""), cand AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({adc}, 6) AS adc6,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cos6
+  FROM coded n JOIN cells q USING (cell)
+  WHERE q.vec_id < {_IVF_NQ} AND n.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc6, neighbor_id) AS adc_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS exact_rank
+  FROM cand
+), ov AS (
+  SELECT query_id, count(*) AS n_overlap FROM ranked
+  WHERE adc_rank <= {_IVF_K} AND exact_rank <= {_IVF_K}
+  GROUP BY query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST((1000 * coalesce(ov.n_overlap, 0)) // {_IVF_K} AS BIGINT) AS recall_permille
+FROM cells q LEFT JOIN ov ON ov.query_id = q.vec_id
+WHERE q.vec_id < {_IVF_NQ}
+"""
+
+
+EXT_QUERIES["ann_pq_recall"] = (q_ann_pq_recall, _o_ann_pq_recall())
