@@ -2284,26 +2284,20 @@ _PQ_M = 4    # subspaces
 _PQ_KS = 8   # centroids per subspace codebook
 
 
-def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (Jégou et al. 2011 / FAISS IVFADC): vectors live in the
-    index as a coarse cell id + M=4 one-byte PQ codes instead of d=64
-    floats — the memory layout that makes 10^11-vector search possible —
-    and queries score candidates through a per-query ADC lookup table
-    (M arrays of Ks true squared distances), so the per-pair work is M
-    array lookups and M-1 adds, no float vector math at all.
-
-    Plan: encode + cell-assign are one narrow codegen map over the
-    embeddings scan; the tiny query side (8 rows, carrying their LUTs)
-    broadcasts into the query's cell; top-k by ADC distance ascending.
-    Codebooks are deterministic literals here (k-means trains real ones);
-    codes are raw-vector encodings, not cell residuals — see
-    textops/pq.py for both caveats and the Arrow-kernel scale path."""
+def _ivfpq_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side prelude for the IVF-PQ family (adc / rerank /
+    recall): the celled corpus, the coded neighbor side, and the query side
+    carrying both the ADC LUTs and the exact vector.  Emits the WIDEST
+    shape each consumer might need (nv/qv/prenorms) — Catalyst column
+    pruning strips whatever a given query leaves unused, so the narrow
+    consumers pay nothing; keeping one copy keeps the parity-critical
+    tie-breaks and casts in sync with the oracle's _ivfpq_sql_parts."""
     from mysql_log_parser_spark.textops.pq import (
-        adc_distance,
         adc_lut_cols,
         pq_code_cols,
         pq_codebooks,
     )
+    from mysql_log_parser_spark.textops.similarity import norm
 
     books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
     cents = _centroid_literals()
@@ -2323,11 +2317,36 @@ def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cells.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
+        F.col("v").alias("nv"),
+        norm(F.col("v")).alias("_nn"),
         *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
     )
     q = cells.where(F.col("vec_id") < _IVF_NQ).select(
-        F.col("vec_id").alias("query_id"), "cell", *adc_lut_cols(F.col("v"), books)
+        F.col("vec_id").alias("query_id"), "cell",
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("_qn"),
+        *adc_lut_cols(F.col("v"), books),
     )
+    return cells, n, q
+
+
+def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 / FAISS IVFADC): vectors live in the
+    index as a coarse cell id + M=4 one-byte PQ codes instead of d=64
+    floats — the memory layout that makes 10^11-vector search possible —
+    and queries score candidates through a per-query ADC lookup table
+    (M arrays of Ks true squared distances), so the per-pair work is M
+    array lookups and M-1 adds, no float vector math at all.
+
+    Plan: encode + cell-assign are one narrow codegen map over the
+    embeddings scan; the tiny query side (8 rows, carrying their LUTs)
+    broadcasts into the query's cell; top-k by ADC distance ascending.
+    Codebooks are deterministic literals here (k-means trains real ones);
+    codes are raw-vector encodings, not cell residuals — see
+    textops/pq.py for both caveats and the Arrow-kernel scale path."""
+    from mysql_log_parser_spark.textops.pq import adc_distance
+
+    _, n, q = _ivfpq_frames(spark, sf_dir)
     scored = (
         n.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -2358,38 +2377,13 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the shortlist is NQ x R rows -> BROADCAST into the vec_id join
     against the full-vector table, so stage 2 is one broadcast hash join +
-    a tiny window — the corpus is only ever scanned once (stage 1)."""
-    from mysql_log_parser_spark.textops.pq import (
-        adc_distance,
-        adc_lut_cols,
-        pq_code_cols,
-        pq_codebooks,
-    )
+    a tiny window.  Stage 2 does re-SCAN the vector table to fetch the R
+    exact vectors per query (a second FileScan of embeddings in the plan)
+    — at scale that is the point: stage 1 never materializes floats, and
+    stage 2's scan is pruned to the broadcast-joined shortlist rows."""
+    from mysql_log_parser_spark.textops.pq import adc_distance
 
-    books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
-    cents = _centroid_literals()
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    choice = F.array_max(
-        F.array(
-            *[
-                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
-                for c in range(_IVF_C)
-            ]
-        )
-    )
-    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
-    n = cells.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "cell",
-        *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
-    )
-    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
-        F.col("vec_id").alias("query_id"), "cell",
-        F.col("v").alias("qv"), *adc_lut_cols(F.col("v"), books)
-    )
+    cells, n, q = _ivfpq_frames(spark, sf_dir)
     scored = (
         n.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -2543,41 +2537,26 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     to surface, and precisely why ann_ivfpq_rerank refines with exact
     distances.  Real clustered embeddings + residual encoding land much
     higher; the metric, not its value, is the operator."""
-    from mysql_log_parser_spark.textops.pq import (
-        adc_distance,
-        adc_lut_cols,
-        pq_code_cols,
-        pq_codebooks,
-    )
+    from mysql_log_parser_spark.textops.pq import adc_distance
+    from mysql_log_parser_spark.textops.similarity import cosine_prenorm
 
-    books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
-    cents = _centroid_literals()
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    choice = F.array_max(
-        F.array(
-            *[
-                F.struct(_dot_lit(F.col("v"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
-                for c in range(_IVF_C)
-            ]
-        )
-    )
-    cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
-    n = cells.select(
-        F.col("vec_id").alias("neighbor_id"), "cell", F.col("v").alias("nv"),
-        *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
-    )
-    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
-        F.col("vec_id").alias("query_id"), "cell",
-        F.col("v").alias("qv"), *adc_lut_cols(F.col("v"), books)
-    )
+    _, n, q = _ivfpq_frames(spark, sf_dir)
+    # prenormed cosine: norms computed once per row on each join input
+    # (similarity.py cosine_prenorm) — one dot fold per candidate pair
+    # instead of three; identical doubles, so cos6 and the oracle agree.
     cand = (
         n.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc6", F.round(adc_distance(_PQ_M), 6))
-        .withColumn("cos6", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_prenorm(
+                    F.col("qv"), F.col("nv"), F.col("_qn"), F.col("_nn")
+                ),
+                6,
+            ),
+        )
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adc6"), F.asc("neighbor_id"))
     wx = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))

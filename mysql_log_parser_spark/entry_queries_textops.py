@@ -2474,7 +2474,7 @@ WITH corpus AS (
   SELECT doc_id + 100000, text || ' zzz qqq winnow tail'
   FROM documents WHERE doc_id % 5 = 0
 ), d AS (
-  SELECT doc_id, text FROM corpus WHERE length(text) >= {_WNP_K + _WN_W - 1}
+  SELECT doc_id, text FROM corpus WHERE length(text) >= {_WNP_K + _WNP_W - 1}
 ), g AS (
   SELECT doc_id, length(text) - {_WNP_K} + 1 AS npos,
          unnest(range(1, length(text) - {_WNP_K} + 2)) AS i, text
@@ -2539,7 +2539,9 @@ WITH w AS (
 SELECT source, n_docs, n_tokens,
        CAST((1000 * n_tokens) // _t AS BIGINT) AS share_permille,
        CAST((1000 * s_mass) // _sm AS BIGINT) AS temp_share_permille,
-       CAST((1000 * s_mass * _t) // (_sm * n_tokens) AS BIGINT) AS factor_permille
+       CAST(floor(((CAST(s_mass AS DOUBLE) * CAST(_t AS DOUBLE))
+                   / (CAST(_sm AS DOUBLE) * CAST(n_tokens AS DOUBLE))) * 1000.0)
+            AS BIGINT) AS factor_permille
 FROM m, t
 """
 

@@ -156,6 +156,18 @@ def pq_encode_arrow(
 
     def encode(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                for s in range(m):
+                    pdf[f"{prefix}{s}"] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"pq_encode: null {vec_col!r} vector in batch — PQ codes "
+                    "for null vectors are undefined; filter nulls first "
+                    "(the catalyst kernel would emit null codes here, so a "
+                    "silent skip would break kernel parity)"
+                )
             v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
             for s in range(m):
                 vm = v[:, s * sub : (s + 1) * sub]

@@ -231,9 +231,13 @@ def temperature_mix(
     scaled mass uses sqrt (IEEE-correctly-rounded in every engine, so
     floor(sqrt(n)*1000) is bit-deterministic); other alphas go through
     pow(), which is NOT correctly rounded — fine for production, but the
-    oracle gate pins alpha=0.5.  Integer products stay under 2**63 for
-    corpora up to ~10^12 tokens per source at permille resolution; past
-    that, drop one permille digit.
+    oracle gate pins alpha=0.5.  The two share columns use pure int64
+    products (1000 * count), safe to ~9e15 total tokens — beyond any
+    single-table corpus here.  The factor column's cross product
+    s_mass * total_tokens overflows int64 at only ~5e8 tokens/source, so
+    it is computed in IEEE doubles instead: every input is an integer
+    below 2**53 (exact in double) and *, /, floor are correctly rounded,
+    so the permille value is still bit-identical across engines.
 
     Scale shape: one partial-agg groupBy(source) (source cardinality is
     tiny), a single-row total broadcast back — nothing else touches the
@@ -262,5 +266,9 @@ def temperature_mix(
         "n_tokens",
         F.expr("(1000 * n_tokens) DIV _t").alias("share_permille"),
         F.expr("(1000 * s_mass) DIV _sm").alias("temp_share_permille"),
-        F.expr("(1000 * s_mass * _t) DIV (_sm * n_tokens)").alias("factor_permille"),
+        F.expr(
+            "CAST(floor(((CAST(s_mass AS DOUBLE) * CAST(_t AS DOUBLE))"
+            " / (CAST(_sm AS DOUBLE) * CAST(n_tokens AS DOUBLE))) * 1000.0)"
+            " AS BIGINT)"
+        ).alias("factor_permille"),
     )
