@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "mix_temperature",
+    "incremental_lsh_dedup",
     "dsir_weights",
     "quality_classifier",
     "ann_ivf_probe2",
@@ -76,6 +77,7 @@ _VERIFY_FIRST = [
     "bpe_train2",            # r03 row; same
     "line_boilerplate",      # r03 row; integer-exact threshold (ADVICE)
     "slow_route_counts",     # r03 row; upsert key scoping + storage seam
+    "minhash_lsh_pairs",     # r02 row; band_long extracted from lsh_candidate_pairs
     # (c) r02 rows only, implementation untouched since — rotate through
     "slow_rawlog_chunked",   # rawlog gzip/member streaming touched the module
     "slow_report_ladder",    # report.py rate-corrected lines touched the module
@@ -107,7 +109,6 @@ _VERIFY_FIRST = [
     "lang_id",
     "token_stats",
     "simhash_docs",
-    "minhash_lsh_pairs",
     "ann_cosine_topk",
 ]
 

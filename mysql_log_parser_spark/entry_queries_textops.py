@@ -2546,3 +2546,107 @@ FROM m, t
 """
 
 TEXTOPS_QUERIES["mix_temperature"] = (q_mix_temperature, O_MIX_TEMPERATURE)
+
+
+# -- 35. incremental LSH near-dup check (delta batch vs persisted index) --------
+
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving-batch near-dup check against the corpus's banded signature
+    index (textops/dedup.incremental_lsh_check): delta = appended-tail
+    near-copies of every 7th doc (should flag) plus reversed-text fresh
+    docs (should pass clean).  The corpus is banded once; the check joins
+    delta bands into the index — never delta x delta, never a re-mine of
+    the base."""
+    from mysql_log_parser_spark.textops.dedup import incremental_lsh_check
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    delta = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+    return incremental_lsh_check(
+        d, delta, n=_NGRAM, num_hashes=_MH, bands=_BANDS, threshold=_THRESH
+    ).withColumnRenamed("delta_id", "doc_id")
+
+
+def _o_incremental_lsh() -> str:
+    rows = _MH // _BANDS
+    mh = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(_MH))
+    bands = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(_BANDS)
+    )
+
+    def side(suffix: str, src: str) -> str:
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded_{suffix}"
+            for b in range(_BANDS)
+        )
+        return f"""sh_{suffix} AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - {_NGRAM - 1}, 0)),
+           i -> array_to_string(ws[i:i + {_NGRAM - 1}], ' ')
+         )) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM {src})
+), hv_{suffix} AS (
+  SELECT doc_id, {_hex_to_int('h', 1, 12)} AS h1, {_hex_to_int('h', 13, 12)} AS h2
+  FROM (SELECT doc_id, md5(unnest(sh)) AS h FROM sh_{suffix})
+), sigs_{suffix} AS (
+  SELECT doc_id, {mh} FROM hv_{suffix} GROUP BY doc_id
+), shs_{suffix} AS (
+  SELECT doc_id, list(DISTINCT h1) AS sh FROM hv_{suffix} GROUP BY doc_id
+), banded_{suffix} AS (
+  SELECT doc_id, {bands} FROM sigs_{suffix}
+), long_{suffix} AS (
+  {band_rows}
+)"""
+
+    return f"""
+WITH delta AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 7 = 3
+), {side('b', 'documents')}, {side('d', 'delta')}, cands AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS cand_id
+  FROM long_d d JOIN long_b b
+    ON d.band_idx = b.band_idx AND d.band_key = b.band_key
+), verified AS (
+  SELECT c.delta_id, c.cand_id,
+         round(len(list_filter(sd.sh, x -> list_contains(sb.sh, x)))
+               / (len(sd.sh) + len(sb.sh)
+                  - len(list_filter(sd.sh, x -> list_contains(sb.sh, x)))), 6) AS j
+  FROM cands c
+  JOIN shs_d sd ON sd.doc_id = c.delta_id
+  JOIN shs_b sb ON sb.doc_id = c.cand_id
+), ranked AS (
+  SELECT delta_id, cand_id, j,
+         row_number() OVER (PARTITION BY delta_id
+                            ORDER BY j DESC, cand_id) AS rn
+  FROM verified
+), agg AS (
+  SELECT delta_id, CAST(count(*) AS BIGINT) AS n_cands, max(j) AS maxj
+  FROM verified GROUP BY delta_id
+), best AS (
+  SELECT a.delta_id, a.n_cands, a.maxj, r.cand_id AS best_match
+  FROM agg a JOIN ranked r ON r.delta_id = a.delta_id AND r.rn = 1
+)
+SELECT s.doc_id,
+       coalesce(b.n_cands, 0) AS n_cands,
+       coalesce(b.maxj >= {_THRESH}, false) AS is_dup,
+       coalesce(b.maxj, 0.0) AS best_jaccard,
+       CAST(b.best_match AS BIGINT) AS best_match
+FROM sigs_d s LEFT JOIN best b ON b.delta_id = s.doc_id
+"""
+
+
+TEXTOPS_QUERIES["incremental_lsh_dedup"] = (q_incremental_lsh, _o_incremental_lsh())

@@ -145,15 +145,15 @@ def shingle_minhash(
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
-def lsh_candidate_pairs(
+def band_long(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Banding: docs sharing any band of the signature become candidates.
-    Shuffles (band_idx, band_key) — skew-safe for text because identical
-    band keys are (near-)duplicates by construction."""
+    """Signature table -> long banded form (id, band_idx, band_key): the
+    LSH index layout both the self-join pair miner and the incremental
+    delta checker bucket on."""
     rows = num_hashes // bands
     band_cols = [
         F.concat_ws(
@@ -163,7 +163,7 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sigs.where(F.col("mh").isNotNull()).select(F.col(id_col), *band_cols)
-    long = banded.select(
+    return banded.select(
         id_col,
         F.explode(
             F.array(*[
@@ -172,6 +172,18 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band_idx", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band of the signature become candidates.
+    Shuffles (band_idx, band_key) — skew-safe for text because identical
+    band keys are (near-)duplicates by construction."""
+    long = band_long(sigs, id_col, num_hashes, bands)
     a = long.alias("a")
     b = long.alias("b")
     return (
@@ -219,6 +231,73 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_lsh_check(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Check an ARRIVING batch against a persisted near-dup index — the
+    index-maintenance shape streaming/incremental ingestion needs at 100 TB:
+    the corpus is never re-mined per batch.  In production the base's
+    banded signature index (band_long over shingle_minhash) is a table
+    written once and appended per batch; each check costs |delta|
+    signature rows plus the matched band buckets — never delta x delta,
+    never base x base, never |corpus| work per arriving batch.
+
+    Returns one row per delta doc:
+      n_cands        distinct base docs sharing >= 1 band
+      is_dup         any candidate with exact shingle-Jaccard >= threshold
+      best_jaccard   max candidate Jaccard, rounded 6dp (0.0 if none)
+      best_match     the max-Jaccard base doc id, smallest id on ties
+                     (null if no candidates)
+    """
+    base_sigs = shingle_minhash(base_docs, text_col, id_col, n, num_hashes).persist()
+    delta_sigs = shingle_minhash(delta_docs, text_col, id_col, n, num_hashes).persist()
+    base_long = band_long(base_sigs, id_col, num_hashes, bands)
+    delta_long = band_long(delta_sigs, id_col, num_hashes, bands)
+    cands = (
+        delta_long.withColumnRenamed(id_col, "delta_id")
+        .join(
+            base_long.withColumnRenamed(id_col, "cand_id"),
+            ["band_idx", "band_key"],
+        )
+        .select("delta_id", "cand_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            delta_sigs.select(F.col(id_col).alias("delta_id"), F.col("sh").alias("sh_d")),
+            "delta_id",
+        )
+        .join(
+            base_sigs.select(F.col(id_col).alias("cand_id"), F.col("sh").alias("sh_b")),
+            "cand_id",
+        )
+        .withColumn("j", F.round(jaccard(F.col("sh_d"), F.col("sh_b")), 6))
+    )
+    best = verified.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.max("j").alias("_maxj"),
+        F.max(F.struct(F.col("j"), (-F.col("cand_id")).alias("nid"))).alias("_best"),
+    )
+    return (
+        delta_sigs.select(F.col(id_col).alias("delta_id"))
+        .join(best, "delta_id", "left")
+        .select(
+            "delta_id",
+            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
+            F.coalesce(F.col("_maxj") >= threshold, F.lit(False)).alias("is_dup"),
+            F.coalesce("_maxj", F.lit(0.0)).alias("best_jaccard"),
+            (-F.col("_best.nid")).cast("long").alias("best_match"),
+        )
     )
 
 

@@ -905,3 +905,34 @@ def test_temperature_mix_flattens(spark):
     assert out["big"]["factor_permille"] < 1000     # downsampled
     # shares stay a (permille-floored) distribution
     assert 995 <= out["small"]["temp_share_permille"] + out["big"]["temp_share_permille"] <= 1000
+
+
+def test_incremental_lsh_check(spark):
+    """Delta-vs-index near-dup check: the appended-tail copy flags against
+    its base doc, the unrelated doc passes clean with zero candidates, and
+    base docs are never checked against each other."""
+    from mysql_log_parser_spark.textops.dedup import incremental_lsh_check
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about mysql slow query logs here"),
+        ],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again tail"),
+            (11, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["delta_id"]: r.asDict()
+        for r in incremental_lsh_check(base, delta, num_hashes=8, bands=4,
+                                       threshold=0.5).collect()
+    }
+    assert out[10]["is_dup"] and out[10]["best_match"] == 1
+    assert out[10]["best_jaccard"] > 0.5 and out[10]["n_cands"] >= 1
+    assert not out[11]["is_dup"] and out[11]["n_cands"] == 0
+    assert out[11]["best_jaccard"] == 0.0 and out[11]["best_match"] is None
