@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "winnow_dup_pairs",
     "mix_temperature",
     "incremental_lsh_dedup",
+    "stream_lsh_dedup",
     "dsir_weights",
     "quality_classifier",
     "ann_ivf_probe2",

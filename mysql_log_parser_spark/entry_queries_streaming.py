@@ -361,3 +361,101 @@ STREAMING_QUERIES["stream_heavy_hitters"] = (
     q_stream_heavy_hitters,
     O_STREAM_HEAVY_HITTERS,
 )
+
+
+# -- streaming incremental LSH near-dup (stream-static index join) --------------
+
+def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time near-dup admission control: the arriving doc stream is
+    shingled+minhashed in-flight (mapInPandas on the stream), banded, and
+    STREAM-STATIC joined against the corpus's persisted banded signature
+    index — the streaming face of textops/dedup.incremental_lsh_check, and
+    the production shape for 'reject near-dups at ingest' (per-batch cost
+    is the batch plus matched buckets; the corpus is never re-mined and no
+    stream-stream join exists: the stream's own signature rides THROUGH
+    the banding via band_long(keep_cols)).  Verified (delta, cand, jaccard)
+    rows land append-mode in the sink; the per-doc verdict aggregation is
+    batch over the drained sink.  Oracle: identical derivation to the
+    batch gate (entry_queries_textops._o_incremental_lsh)."""
+    from mysql_log_parser_spark.entry_queries_textops import (
+        _BANDS,
+        _MH,
+        _NGRAM,
+        _THRESH,
+    )
+    from mysql_log_parser_spark.textops.dedup import (
+        band_long,
+        jaccard,
+        shingle_minhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    delta = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+    ind = _scratch_dir("mlp_stream_lsh_in_")
+    delta.repartition(2).write.mode("overwrite").parquet(ind)
+
+    base_sigs = shingle_minhash(docs, n=_NGRAM, num_hashes=_MH)
+    base_long = band_long(
+        base_sigs, num_hashes=_MH, bands=_BANDS
+    ).withColumnRenamed("doc_id", "cand_id")
+    base_sh = base_sigs.select(
+        F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_b")
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(ind)
+    dlong = band_long(
+        shingle_minhash(stream, n=_NGRAM, num_hashes=_MH),
+        num_hashes=_MH, bands=_BANDS, keep_cols=("sh",),
+    ).withColumnRenamed("doc_id", "delta_id")
+    verified = (
+        dlong.join(base_long, ["band_idx", "band_key"])
+        .join(base_sh, "cand_id")
+        .select(
+            "delta_id", "cand_id",
+            F.round(jaccard(F.col("sh"), F.col("sh_b")), 6).alias("j"),
+        )
+    )
+    name = f"mlp_slsh_{uuid.uuid4().hex[:8]}"
+    q = (
+        verified.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q)
+    mat = spark.table(name).dropDuplicates(["delta_id", "cand_id"])
+    best = mat.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.max("j").alias("_maxj"),
+        F.max(F.struct(F.col("j"), (-F.col("cand_id")).alias("nid"))).alias("_best"),
+    )
+    return (
+        spark.read.parquet(ind)
+        .select(F.col("doc_id").alias("delta_id"))
+        .join(best, "delta_id", "left")
+        .select(
+            F.col("delta_id").alias("doc_id"),
+            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
+            F.coalesce(F.col("_maxj") >= _THRESH, F.lit(False)).alias("is_dup"),
+            F.coalesce("_maxj", F.lit(0.0)).alias("best_jaccard"),
+            (-F.col("_best.nid")).cast("long").alias("best_match"),
+        )
+    )
+
+
+def _o_stream_lsh() -> str:
+    from mysql_log_parser_spark.entry_queries_textops import _o_incremental_lsh
+
+    return _o_incremental_lsh()
+
+
+STREAMING_QUERIES["stream_lsh_dedup"] = (q_stream_lsh_dedup, _o_stream_lsh())

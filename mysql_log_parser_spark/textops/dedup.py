@@ -150,10 +150,13 @@ def band_long(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Signature table -> long banded form (id, band_idx, band_key): the
     LSH index layout both the self-join pair miner and the incremental
-    delta checker bucket on."""
+    delta checker bucket on.  `keep_cols` ride along unexploded — the
+    streaming delta checker carries `sh` through the banding so the
+    verify stage never has to rejoin the (stream-side) signature table."""
     rows = num_hashes // bands
     band_cols = [
         F.concat_ws(
@@ -162,16 +165,19 @@ def band_long(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sigs.where(F.col("mh").isNotNull()).select(F.col(id_col), *band_cols)
+    banded = sigs.where(F.col("mh").isNotNull()).select(
+        F.col(id_col), *keep_cols, *band_cols
+    )
     return banded.select(
         id_col,
+        *keep_cols,
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key"))
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select(id_col, "bk.band_idx", "bk.band_key")
+    ).select(id_col, *keep_cols, "bk.band_idx", "bk.band_key")
 
 
 def lsh_candidate_pairs(
