@@ -382,27 +382,24 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MH,
         _NGRAM,
         _THRESH,
+        _lsh_delta,
     )
     from mysql_log_parser_spark.textops.dedup import (
         band_long,
         jaccard,
+        lsh_verdicts,
         shingle_minhash,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    delta = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
-    ).unionByName(
-        docs.where(F.col("doc_id") % 7 == 3).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.reverse(F.col("text")).alias("text"),
-        )
-    )
     ind = _scratch_dir("mlp_stream_lsh_in_")
-    delta.repartition(2).write.mode("overwrite").parquet(ind)
+    _lsh_delta(docs).repartition(2).write.mode("overwrite").parquet(ind)
 
-    base_sigs = shingle_minhash(docs, n=_NGRAM, num_hashes=_MH)
+    # persisted: a stream-static join re-evaluates the static side every
+    # micro-batch, and base_sigs feeds BOTH the banded index and the
+    # verify join — unpersisted, the corpus kernel would re-mine per
+    # batch, which is exactly what this operator exists to avoid.
+    base_sigs = shingle_minhash(docs, n=_NGRAM, num_hashes=_MH).persist()
     base_long = band_long(
         base_sigs, num_hashes=_MH, bands=_BANDS
     ).withColumnRenamed("doc_id", "cand_id")
@@ -432,24 +429,13 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_bounded(q)
+    base_sigs.unpersist()  # the sink holds the verified rows; index done
     mat = spark.table(name).dropDuplicates(["delta_id", "cand_id"])
-    best = mat.groupBy("delta_id").agg(
-        F.count(F.lit(1)).alias("n_cands"),
-        F.max("j").alias("_maxj"),
-        F.max(F.struct(F.col("j"), (-F.col("cand_id")).alias("nid"))).alias("_best"),
-    )
-    return (
-        spark.read.parquet(ind)
-        .select(F.col("doc_id").alias("delta_id"))
-        .join(best, "delta_id", "left")
-        .select(
-            F.col("delta_id").alias("doc_id"),
-            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
-            F.coalesce(F.col("_maxj") >= _THRESH, F.lit(False)).alias("is_dup"),
-            F.coalesce("_maxj", F.lit(0.0)).alias("best_jaccard"),
-            (-F.col("_best.nid")).cast("long").alias("best_match"),
-        )
-    )
+    return lsh_verdicts(
+        mat,
+        spark.read.parquet(ind).select(F.col("doc_id").alias("delta_id")),
+        _THRESH,
+    ).withColumnRenamed("delta_id", "doc_id")
 
 
 def _o_stream_lsh() -> str:

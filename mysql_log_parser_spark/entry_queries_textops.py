@@ -2550,27 +2550,52 @@ TEXTOPS_QUERIES["mix_temperature"] = (q_mix_temperature, O_MIX_TEMPERATURE)
 
 # -- 35. incremental LSH near-dup check (delta batch vs persisted index) --------
 
+def _lsh_delta(d: DataFrame) -> DataFrame:
+    """The arriving batch both LSH-check entries (batch + streaming) and
+    their shared oracle replay, so the mutation spec lives once:
+      +100000  appended-tail near-copies of every 7th doc   -> must flag
+      +200000  md5-gibberish fresh docs (3 words, 1 shingle) -> must pass
+      +300000  single-md5-word docs (ZERO shingles)          -> exercises
+               the shingle-less path: no mh, never banded, clean row with
+               n_cands = 0 on both engines.
+    Gibberish text is derived from the NEW doc_id via md5 (engine-identical
+    by construction — no reverse()/case-folding unicode divergence
+    surface)."""
+    def gib(idc, salts):
+        return F.concat_ws(
+            " ", *[F.md5(F.concat(idc.cast("string"), F.lit(f":{s}"))) for s in salts]
+        )
+
+    return (
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), F.lit(None).alias("text")
+            ).select("doc_id", gib(F.col("doc_id"), ("a", "b", "c")).alias("text"))
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 7 == 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), F.lit(None).alias("text")
+            ).select("doc_id", gib(F.col("doc_id"), ("x",)).alias("text"))
+        )
+    )
+
+
 def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arriving-batch near-dup check against the corpus's banded signature
     index (textops/dedup.incremental_lsh_check): delta = appended-tail
-    near-copies of every 7th doc (should flag) plus reversed-text fresh
-    docs (should pass clean).  The corpus is banded once; the check joins
-    delta bands into the index — never delta x delta, never a re-mine of
-    the base."""
+    near-copies (should flag) + gibberish fresh docs (should pass clean)
+    + shingle-less docs (clean row, never banded) — see _lsh_delta.  The
+    corpus is banded once; the check joins delta bands into the index —
+    never delta x delta, never a re-mine of the base."""
     from mysql_log_parser_spark.textops.dedup import incremental_lsh_check
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    delta = d.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
-    ).unionByName(
-        d.where(F.col("doc_id") % 7 == 3).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.reverse(F.col("text")).alias("text"),
-        )
-    )
     return incremental_lsh_check(
-        d, delta, n=_NGRAM, num_hashes=_MH, bands=_BANDS, threshold=_THRESH
+        d, _lsh_delta(d), n=_NGRAM, num_hashes=_MH, bands=_BANDS, threshold=_THRESH
     ).withColumnRenamed("delta_id", "doc_id")
 
 
@@ -2614,8 +2639,15 @@ WITH delta AS (
   SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, reverse(text) AS text
+  SELECT doc_id + 200000 AS doc_id,
+         concat_ws(' ', md5(CAST(doc_id + 200000 AS VARCHAR) || ':a'),
+                        md5(CAST(doc_id + 200000 AS VARCHAR) || ':b'),
+                        md5(CAST(doc_id + 200000 AS VARCHAR) || ':c')) AS text
   FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         md5(CAST(doc_id + 300000 AS VARCHAR) || ':x') AS text
+  FROM documents WHERE doc_id % 7 = 5
 ), {side('b', 'documents')}, {side('d', 'delta')}, cands AS (
   SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS cand_id
   FROM long_d d JOIN long_b b
@@ -2640,12 +2672,12 @@ WITH delta AS (
   SELECT a.delta_id, a.n_cands, a.maxj, r.cand_id AS best_match
   FROM agg a JOIN ranked r ON r.delta_id = a.delta_id AND r.rn = 1
 )
-SELECT s.doc_id,
+SELECT d.doc_id,
        coalesce(b.n_cands, 0) AS n_cands,
        coalesce(b.maxj >= {_THRESH}, false) AS is_dup,
        coalesce(b.maxj, 0.0) AS best_jaccard,
        CAST(b.best_match AS BIGINT) AS best_match
-FROM sigs_d s LEFT JOIN best b ON b.delta_id = s.doc_id
+FROM delta d LEFT JOIN best b ON b.delta_id = d.doc_id
 """
 
 

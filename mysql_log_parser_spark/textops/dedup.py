@@ -265,6 +265,11 @@ def incremental_lsh_check(
       best_match     the max-Jaccard base doc id, smallest id on ties
                      (null if no candidates)
     """
+    # persisted for the same reason as minhash_dedup_pairs: each signature
+    # table feeds both its banding branch and the verify join — and like
+    # there, the cache is deliberately left alive with the returned lazy
+    # plan (at production scale this materialization IS the index table
+    # you'd write out; callers that drain eagerly may unpersist after).
     base_sigs = shingle_minhash(base_docs, text_col, id_col, n, num_hashes).persist()
     delta_sigs = shingle_minhash(delta_docs, text_col, id_col, n, num_hashes).persist()
     base_long = band_long(base_sigs, id_col, num_hashes, bands)
@@ -289,21 +294,32 @@ def incremental_lsh_check(
         )
         .withColumn("j", F.round(jaccard(F.col("sh_d"), F.col("sh_b")), 6))
     )
+    return lsh_verdicts(
+        verified, delta_sigs.select(F.col(id_col).alias("delta_id")), threshold
+    )
+
+
+def lsh_verdicts(
+    verified: DataFrame, delta_ids: DataFrame, threshold: float
+) -> DataFrame:
+    """Per-delta-doc verdict over verified (delta_id, cand_id, j) rows:
+    candidate count, dup flag, best jaccard, best match (max j, smallest
+    cand_id on ties).  Shared by the batch checker and the streaming
+    entry so the tie-break/null semantics — which one oracle gates both
+    of — live in exactly one place.  `delta_ids` anchors the left join so
+    docs with zero candidates (including shingle-less docs that never
+    reach banding) still get their clean row."""
     best = verified.groupBy("delta_id").agg(
         F.count(F.lit(1)).alias("n_cands"),
         F.max("j").alias("_maxj"),
         F.max(F.struct(F.col("j"), (-F.col("cand_id")).alias("nid"))).alias("_best"),
     )
-    return (
-        delta_sigs.select(F.col(id_col).alias("delta_id"))
-        .join(best, "delta_id", "left")
-        .select(
-            "delta_id",
-            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
-            F.coalesce(F.col("_maxj") >= threshold, F.lit(False)).alias("is_dup"),
-            F.coalesce("_maxj", F.lit(0.0)).alias("best_jaccard"),
-            (-F.col("_best.nid")).cast("long").alias("best_match"),
-        )
+    return delta_ids.join(best, "delta_id", "left").select(
+        "delta_id",
+        F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
+        F.coalesce(F.col("_maxj") >= threshold, F.lit(False)).alias("is_dup"),
+        F.coalesce("_maxj", F.lit(0.0)).alias("best_jaccard"),
+        (-F.col("_best.nid")).cast("long").alias("best_match"),
     )
 
 
