@@ -2449,8 +2449,9 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df") <= _WN_DF_CAP
     )
     fz = fps.join(keep.select("fp"), "fp")
+    cnt = fz.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fz.alias("a"), fz.alias("b")
-    return (
+    pairs = (
         a.join(b, "fp")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
@@ -2458,6 +2459,18 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= _WN_SHARED)
+    )
+    # containment = shared / min(|fps_a|, |fps_b|) over the SAME capped
+    # fingerprint space as `shared` — the MOSS asymmetric metric; a small
+    # doc fully embedded in a big one scores ~1000 permille even though
+    # its symmetric shared count is modest.
+    return (
+        pairs.join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "shared", "n_a", "n_b",
+            F.expr("(1000 * shared) DIV least(n_a, n_b)").alias("containment_permille"),
+        )
     )
 
 
@@ -2497,11 +2510,18 @@ WITH corpus AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WN_DF_CAP}
 ), fz AS (
   SELECT doc_id, fp FROM fps JOIN keep USING (fp)
+), cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fz GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM fz a JOIN fz b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {_WN_SHARED}
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
-FROM fz a JOIN fz b USING (fp)
-WHERE a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= {_WN_SHARED}
+SELECT id_a, id_b, shared, ca.n_fp AS n_a, cb.n_fp AS n_b,
+       CAST((1000 * shared) // least(ca.n_fp, cb.n_fp) AS BIGINT)
+         AS containment_permille
+FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
 """
 
 
