@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "mix_temperature",
     "incremental_lsh_dedup",
     "stream_lsh_dedup",
+    "char_diversity",
     "dsir_weights",
     "quality_classifier",
     "ann_ivf_probe2",

@@ -2702,3 +2702,46 @@ FROM delta d LEFT JOIN best b ON b.delta_id = d.doc_id
 
 
 TEXTOPS_QUERIES["incremental_lsh_dedup"] = (q_incremental_lsh, _o_incremental_lsh())
+
+
+# -- 36. character-concentration junk signal ------------------------------------
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson/collision character-concentration (the gate-exact stand-in
+    for character entropy; textops/quality.char_diversity) with injected
+    junk docs — every 11th doc re-enters as an 'aaaa...' run, which must
+    score simpson_permille = top_char_permille = 1000."""
+    from mysql_log_parser_spark.textops.quality import char_diversity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    junk = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.repeat(F.lit("a"), 64).alias("text"),
+    )
+    return char_diversity(d.unionByName(junk))
+
+
+O_CHAR_DIVERSITY = """
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, repeat('a', 64) FROM documents WHERE doc_id % 11 = 0
+), ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM c
+), freq AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS distinct_chars,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sq, CAST(max(cnt) AS BIGINT) AS mx
+  FROM freq GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(a.n, 0) AS n_chars,
+       coalesce(a.distinct_chars, 0) AS distinct_chars,
+       coalesce((1000 * a.sq) // (a.n * a.n), 0) AS simpson_permille,
+       coalesce((1000 * a.mx) // a.n, 0) AS top_char_permille
+FROM c LEFT JOIN agg a ON a.doc_id = c.doc_id
+"""
+
+TEXTOPS_QUERIES["char_diversity"] = (q_char_diversity, O_CHAR_DIVERSITY)

@@ -177,3 +177,55 @@ def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_w")
     )
+
+
+def char_diversity(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-concentration junk signal: per doc, the Simpson /
+    collision index sum(n_c^2)/n^2 (probability two random character
+    draws collide) and the top-character share — both EXACT integer
+    permille, which is why this is the gate-able form of the usual
+    character-entropy filter (entropy needs log(), which no two engines
+    round identically; collision probability is pure rational
+    arithmetic).  Repetitive junk ('aaaa...', template runs) scores high;
+    natural text over a full alphabet scores low.
+
+    One zero-shuffle mapInPandas pass (per-doc numpy bincount over
+    codepoints) — the per-character explode+groupBy twin is what the
+    DuckDB oracle replays (heavy-hitters precedent: Arrow kernel gated
+    against an exact SQL derivation)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType([
+        StructField(id_field.name, id_field.dataType),
+        StructField("n_chars", LongType()),
+        StructField("distinct_chars", LongType()),
+        StructField("simpson_permille", LongType()),
+        StructField("top_char_permille", LongType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                t = txt or ""
+                n = len(t)
+                if n == 0:
+                    rows.append((did, 0, 0, 0, 0))
+                    continue
+                _, counts = np.unique(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32),
+                                      return_counts=True)
+                c = counts.astype(np.int64)
+                rows.append((
+                    did, n, len(c),
+                    int((1000 * int((c * c).sum())) // (n * n)),
+                    int((1000 * int(c.max())) // n),
+                ))
+            yield pd.DataFrame(rows, columns=[id_field.name, "n_chars",
+                                              "distinct_chars", "simpson_permille",
+                                              "top_char_permille"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)

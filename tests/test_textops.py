@@ -936,3 +936,23 @@ def test_incremental_lsh_check(spark):
     assert out[10]["best_jaccard"] > 0.5 and out[10]["n_cands"] >= 1
     assert not out[11]["is_dup"] and out[11]["n_cands"] == 0
     assert out[11]["best_jaccard"] == 0.0 and out[11]["best_match"] is None
+
+
+def test_char_diversity(spark):
+    """Collision-index extremes: a single-char run scores exactly 1000
+    permille on both signals; a string of all-distinct chars scores the
+    uniform floor 1000/n; empty text gets the zero row."""
+    from mysql_log_parser_spark.textops.quality import char_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, ""), (4, "aabb")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in char_diversity(docs).collect()}
+    assert out[1]["simpson_permille"] == 1000 and out[1]["top_char_permille"] == 1000
+    assert out[2]["simpson_permille"] == 125 and out[2]["distinct_chars"] == 8
+    assert out[3] == {"doc_id": 3, "n_chars": 0, "distinct_chars": 0,
+                      "simpson_permille": 0, "top_char_permille": 0}
+    assert out[4]["simpson_permille"] == 500 and out[4]["top_char_permille"] == 500
+    plan = char_diversity(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
