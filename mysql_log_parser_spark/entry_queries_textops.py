@@ -2709,13 +2709,16 @@ TEXTOPS_QUERIES["incremental_lsh_dedup"] = (q_incremental_lsh, _o_incremental_ls
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson/collision character-concentration (the gate-exact stand-in
     for character entropy; textops/quality.char_diversity) with injected
-    junk docs — every 11th doc re-enters as an 'aaaa...' run, which must
-    score simpson_permille = top_char_permille = 1000."""
+    junk docs — every 11th doc re-enters (under a negative id) as an 'aaaa...' run,
+    which must score simpson_permille = top_char_permille = 1000."""
     from mysql_log_parser_spark.textops.quality import char_diversity
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # junk ids are NEGATIVE (-(id+1)): structurally collision-free with any
+    # non-negative corpus id, so the oracle's per-doc_id grouping is
+    # guaranteed to equal the kernel's per-row scoring.
     junk = d.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.repeat(F.lit("a"), 64).alias("text"),
     )
     return char_diversity(d.unionByName(junk))
@@ -2725,7 +2728,7 @@ O_CHAR_DIVERSITY = """
 WITH c AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, repeat('a', 64) FROM documents WHERE doc_id % 11 = 0
+  SELECT -(doc_id + 1), repeat('a', 64) FROM documents WHERE doc_id % 11 = 0
 ), ch AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM c
 ), freq AS (
