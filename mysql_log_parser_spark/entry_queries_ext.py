@@ -299,8 +299,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 3 == 0)
         .select("doc_id", "text")
     )
+    # negative injected ids (char_diversity scheme): collision-free with
+    # real corpus ids at any scale
     nd = d.where(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
     )
     return ngram_jaccard_pairs_bruteforce(
@@ -312,7 +314,7 @@ O_NGRAM_JACCARD = f"""
 WITH c AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id + 100000, text || ' zzz qqq' FROM documents WHERE doc_id % 6 = 0
+  SELECT -(doc_id + 1), text || ' zzz qqq' FROM documents WHERE doc_id % 6 = 0
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -429,7 +431,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_literals()
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     # argmax dot, ties to the smallest centroid index (max over (dot, -idx))
     choice = F.array_max(
@@ -814,7 +816,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_literals()
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     choice = F.array_max(
         F.array(
@@ -1041,7 +1043,7 @@ def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip only for O(k*d) state, never the data."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
 
     def assign(df, cents):
@@ -1399,15 +1401,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group.  The per-cell cap (loud raise_error on overflow) makes the
     "never all pairs" claim hold by construction at any N; centroids are
     deterministic seeds here, refined by the k-means operators in
-    production.  Exact dups are injected (vec_id+10000, identical vector ->
-    cosine 1.0) so there is signal."""
+    production.  Exact dups are injected (negative ids -(vec_id+1),
+    identical vector -> cosine 1.0) so there is signal."""
     from mysql_log_parser_spark.textops.dedup import semantic_dedup_components
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # negative injected ids (char_diversity scheme): collision-free at any N
     dupes = e.where(F.col("vec_id") % _SD_DUP_MOD == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+        (-(F.col("vec_id") + 1)).alias("vec_id"), "v"
     )
     corpus = e.unionByName(dupes)
     return semantic_dedup_components(
@@ -1429,7 +1432,7 @@ def _o_semantic_dedup() -> str:
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+  SELECT -(vec_id + 1), embedding::DOUBLE[] FROM embeddings
   WHERE vec_id % {_SD_DUP_MOD} = 0
 ), d AS (
   SELECT vec_id, v,
@@ -2107,7 +2110,7 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_literals()
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     dots = F.array(
         *[
@@ -2294,16 +2297,19 @@ def _ivfpq_frames(spark: SparkSession, sf_dir: str):
     tie-breaks and casts in sync with the oracle's _ivfpq_sql_parts."""
     from mysql_log_parser_spark.textops.pq import (
         adc_lut_cols,
-        pq_code_cols,
         pq_codebooks,
+        pq_encode,
     )
     from mysql_log_parser_spark.textops.similarity import norm
 
     books = pq_codebooks(_PQ_M, _PQ_KS, _IVF_DIM)
     cents = _centroid_literals()
+    # v is a plain array Cast (codegen'd), NOT transform(x -> cast(x)):
+    # the code columns below reference v M*Ks times, and an interpreted
+    # HOF would be re-evaluated at every reference (the no-CSE trap).
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     choice = F.array_max(
         F.array(
@@ -2314,12 +2320,17 @@ def _ivfpq_frames(spark: SparkSession, sf_dir: str):
         )
     )
     cells = e.withColumn("cell", (-choice.getField("nc")).cast("long"))
-    n = cells.select(
+    # index-side encoding goes through pq_encode(kernel='auto'): at gate
+    # dims (M*Ks*sub = 512) it resolves to the oracle-replicable Catalyst
+    # literal folds; past the literal threshold the SAME call falls onto
+    # the Arrow matmul encoder instead of growing the fold tree.
+    coded = pq_encode(cells, books, vec_col="v", kernel="auto")
+    n = coded.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         F.col("v").alias("nv"),
         norm(F.col("v")).alias("_nn"),
-        *[c.cast("long").alias(f"code{s}") for s, c in enumerate(pq_code_cols(F.col("v"), books))],
+        *[F.col(f"code{s}").cast("long").alias(f"code{s}") for s in range(_PQ_M)],
     )
     q = cells.where(F.col("vec_id") < _IVF_NQ).select(
         F.col("vec_id").alias("query_id"), "cell",
@@ -2380,8 +2391,12 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tiny window.  Stage 2 does re-SCAN the vector table to fetch the R
     exact vectors per query (a second FileScan of embeddings in the plan)
     — at scale that is the point: stage 1 never materializes floats, and
-    stage 2's scan is pruned to the broadcast-joined shortlist rows."""
+    stage 2's scan is pruned to the broadcast-joined shortlist rows.
+    The rerank cosine is PRENORMED (similarity.cosine_prenorm): both side
+    norms are materialized before the shortlist join, so the per-pair work
+    is one dot fold instead of three — the repo's rerank discipline."""
     from mysql_log_parser_spark.textops.pq import adc_distance
+    from mysql_log_parser_spark.textops.similarity import cosine_prenorm, norm
 
     cells, n, q = _ivfpq_frames(spark, sf_dir)
     scored = (
@@ -2393,14 +2408,24 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = (
         scored.withColumn("adc_rank", F.row_number().over(wa))
         .where(F.col("adc_rank") <= _PQ_R)
-        .select("query_id", "neighbor_id", "adc_rank", "qv")
+        .select("query_id", "neighbor_id", "adc_rank", "qv", "_qn")
     )
     exact = cells.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        norm(F.col("v")).alias("_nn"),
     ).join(F.broadcast(short), "neighbor_id")
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
     return (
-        exact.withColumn("cos6", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        exact.withColumn(
+            "cos6",
+            F.round(
+                cosine_prenorm(
+                    F.col("qv"), F.col("nv"), F.col("_qn"), F.col("_nn")
+                ),
+                6,
+            ),
+        )
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= _IVF_K)
         .select(

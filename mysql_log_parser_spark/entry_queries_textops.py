@@ -51,8 +51,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # injected ids are negative (-(id+1)) — structurally collision-free
+    # with any non-negative corpus id at any scale (char_diversity scheme)
     dupes = d.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     return exact_duplicates(d.unionByName(dupes))
 
@@ -61,7 +63,7 @@ O_DEDUP_EXACT = """
 WITH c AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+  SELECT -(doc_id + 1), text FROM documents WHERE doc_id % 7 = 0
 )
 SELECT md5(text) AS content_hash, count(*) AS dup_count, min(doc_id) AS keep_id
 FROM c GROUP BY 1 HAVING count(*) > 1
@@ -204,8 +206,10 @@ _MH, _BANDS, _NGRAM, _THRESH = 8, 4, 3, 0.5
 
 def _mutated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # negative injected ids (char_diversity scheme): never collide with a
+    # real corpus id, at any corpus size
     nd = d.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
     )
     return d.unionByName(nd)
@@ -247,7 +251,7 @@ def _o_minhash_pairs() -> str:
 WITH c AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text || ' zzz qqq' FROM documents WHERE doc_id % 5 = 0
+  SELECT -(doc_id + 1), text || ' zzz qqq' FROM documents WHERE doc_id % 5 = 0
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -294,7 +298,11 @@ _NQ = 8  # query vectors: vec_id < 8
 
 
 def _as_double(c) -> F.Column:
-    return F.transform(c, lambda x: x.cast("double"))
+    """array<float> -> array<double> via a plain Cast — codegen'd and cheap
+    even when projection collapse inlines it at every reference, unlike the
+    interpreted transform(x -> cast(x)) HOF this replaces (the no-CSE trap:
+    a transform referenced k times is evaluated k times, interpreted)."""
+    return c.cast("array<double>")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,8 +363,10 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    # negative injected ids (char_diversity scheme): never collide with a
+    # real vec_id at any corpus size
     dupes = e.where(F.col("vec_id") % _DUP_MOD == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+        (-(F.col("vec_id") + 1)).alias("vec_id"), "v"
     )
     corpus = e.unionByName(dupes)
     planes = _plane_literals(_PLANES, _DIM)
@@ -404,7 +414,7 @@ def _o_embed_near_dup() -> str:
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % {_DUP_MOD} = 0
+  SELECT -(vec_id + 1), embedding::DOUBLE[] FROM embeddings WHERE vec_id % {_DUP_MOD} = 0
 ), s AS (
   SELECT vec_id, v, {bits} AS bucket FROM c
 )
@@ -1079,7 +1089,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "source", "text")
     dupes = d.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "source", "text"
     )
     corpus = d.unionByName(dupes)
 
@@ -1105,7 +1115,7 @@ def _o_curation() -> str:
 WITH c AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 7 = 0
+  SELECT -(doc_id + 1), source, text FROM documents WHERE doc_id % 7 = 0
 ), dd AS (
   SELECT * FROM (
     SELECT doc_id, source, text,
@@ -2004,7 +2014,7 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = base.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat("text", F.lit(" tail variation")).alias("text"),
     )
     d = base.unionByName(dupes).select(
@@ -2036,7 +2046,7 @@ O_PREFIX_DUP_GROUPS = f"""
 WITH c AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 300000, text || ' tail variation'
+  SELECT -(doc_id + 1), text || ' tail variation'
   FROM documents WHERE doc_id % 11 = 0
 ), w AS (
   SELECT doc_id,
@@ -2114,7 +2124,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = d.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     base = d.unionByName(dupes).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2130,7 +2140,7 @@ O_DEDUP_SUBSTRING = f"""
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
   UNION ALL
-  SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id, text
+  SELECT CAST(-(doc_id + 1) AS BIGINT) AS doc_id, text
   FROM documents WHERE doc_id % 7 = 0
 ), el AS (
   SELECT doc_id, text FROM base WHERE length(text) >= {_SPAN_K}
@@ -2282,7 +2292,8 @@ SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(t_mass AS BIGINT) AS t_mass,
        CAST(r_mass AS BIGINT) AS r_mass,
-       CAST(floor((t_mass * rr * 1000) / (r_mass * tt)) AS BIGINT)
+       CAST(floor(((CAST(t_mass AS DOUBLE) * CAST(rr AS DOUBLE)) * 1000.0)
+                  / (CAST(r_mass AS DOUBLE) * CAST(tt AS DOUBLE))) AS BIGINT)
          AS dsir_permille
 FROM pd, tot
 """
@@ -2436,8 +2447,12 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_log_parser_spark.textops.winnow import winnow_fingerprints
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # injected ids are NEGATIVE (-(id+1)): structurally collision-free with
+    # any non-negative corpus id at any corpus size (the char_diversity
+    # scheme — a +100000 offset collides once the corpus passes 100k docs,
+    # and bench_scaling already runs at that boundary).
     mut = d.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz qqq winnow tail")).alias("text"),
     )
     fps = (
@@ -2484,7 +2499,7 @@ def _o_winnow_pairs() -> str:
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text || ' zzz qqq winnow tail'
+  SELECT -(doc_id + 1), text || ' zzz qqq winnow tail'
   FROM documents WHERE doc_id % 5 = 0
 ), d AS (
   SELECT doc_id, text FROM corpus WHERE length(text) >= {_WNP_K + _WNP_W - 1}
@@ -2572,12 +2587,18 @@ TEXTOPS_QUERIES["mix_temperature"] = (q_mix_temperature, O_MIX_TEMPERATURE)
 
 def _lsh_delta(d: DataFrame) -> DataFrame:
     """The arriving batch both LSH-check entries (batch + streaming) and
-    their shared oracle replay, so the mutation spec lives once:
-      +100000  appended-tail near-copies of every 7th doc   -> must flag
-      +200000  md5-gibberish fresh docs (3 words, 1 shingle) -> must pass
-      +300000  single-md5-word docs (ZERO shingles)          -> exercises
-               the shingle-less path: no mh, never banded, clean row with
-               n_cands = 0 on both engines.
+    their shared oracle replay, so the mutation spec lives once.  Injected
+    ids are NEGATIVE with distinct residues mod 4 — -(4*id + c), c in
+    {1, 2, 3} — so they are structurally collision-free with any
+    non-negative corpus id AND with each other at any corpus size (the
+    char_diversity negative-id scheme; the former +100000/+200000/+300000
+    offsets collide with real ids once the corpus passes 100k docs, the
+    exact boundary bench_scaling runs at):
+      -(4*id+1)  appended-tail near-copies of every 7th doc   -> must flag
+      -(4*id+2)  md5-gibberish fresh docs (3 words, 1 shingle) -> must pass
+      -(4*id+3)  single-md5-word docs (ZERO shingles)          -> exercises
+                 the shingle-less path: no mh, never banded, clean row with
+                 n_cands = 0 on both engines.
     Gibberish text is derived from the NEW doc_id via md5 (engine-identical
     by construction — no reverse()/case-folding unicode divergence
     surface)."""
@@ -2588,17 +2609,17 @@ def _lsh_delta(d: DataFrame) -> DataFrame:
 
     return (
         d.where(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (-(F.col("doc_id") * 4 + 1)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
         )
         .unionByName(
             d.where(F.col("doc_id") % 7 == 3).select(
-                (F.col("doc_id") + 200000).alias("doc_id"), F.lit(None).alias("text")
+                (-(F.col("doc_id") * 4 + 2)).alias("doc_id"), F.lit(None).alias("text")
             ).select("doc_id", gib(F.col("doc_id"), ("a", "b", "c")).alias("text"))
         )
         .unionByName(
             d.where(F.col("doc_id") % 7 == 5).select(
-                (F.col("doc_id") + 300000).alias("doc_id"), F.lit(None).alias("text")
+                (-(F.col("doc_id") * 4 + 3)).alias("doc_id"), F.lit(None).alias("text")
             ).select("doc_id", gib(F.col("doc_id"), ("x",)).alias("text"))
         )
     )
@@ -2610,13 +2631,24 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-copies (should flag) + gibberish fresh docs (should pass clean)
     + shingle-less docs (clean row, never banded) — see _lsh_delta.  The
     corpus is banded once; the check joins delta bands into the index —
-    never delta x delta, never a re-mine of the base."""
+    never delta x delta, never a re-mine of the base.  The verdicts are
+    drained eagerly (localCheckpoint) so the two fat signature caches can
+    be released before returning — like the streaming twin, the gate
+    session's storage memory stays bounded across 100+ entries."""
     from mysql_log_parser_spark.textops.dedup import incremental_lsh_check
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    return incremental_lsh_check(
-        d, _lsh_delta(d), n=_NGRAM, num_hashes=_MH, bands=_BANDS, threshold=_THRESH
+    caches: list = []
+    out = incremental_lsh_check(
+        d, _lsh_delta(d), n=_NGRAM, num_hashes=_MH, bands=_BANDS,
+        threshold=_THRESH, caches=caches,
     ).withColumnRenamed("delta_id", "doc_id")
+    # one small row per delta doc; blocks are context-cleaned once the
+    # returned frame is collected and dropped
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def _o_incremental_lsh() -> str:
@@ -2656,17 +2688,17 @@ def _o_incremental_lsh() -> str:
 
     return f"""
 WITH delta AS (
-  SELECT doc_id + 100000 AS doc_id, text || ' zzz qqq' AS text
+  SELECT -(doc_id * 4 + 1) AS doc_id, text || ' zzz qqq' AS text
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id,
-         concat_ws(' ', md5(CAST(doc_id + 200000 AS VARCHAR) || ':a'),
-                        md5(CAST(doc_id + 200000 AS VARCHAR) || ':b'),
-                        md5(CAST(doc_id + 200000 AS VARCHAR) || ':c')) AS text
+  SELECT -(doc_id * 4 + 2) AS doc_id,
+         concat_ws(' ', md5(CAST(-(doc_id * 4 + 2) AS VARCHAR) || ':a'),
+                        md5(CAST(-(doc_id * 4 + 2) AS VARCHAR) || ':b'),
+                        md5(CAST(-(doc_id * 4 + 2) AS VARCHAR) || ':c')) AS text
   FROM documents WHERE doc_id % 7 = 3
   UNION ALL
-  SELECT doc_id + 300000 AS doc_id,
-         md5(CAST(doc_id + 300000 AS VARCHAR) || ':x') AS text
+  SELECT -(doc_id * 4 + 3) AS doc_id,
+         md5(CAST(-(doc_id * 4 + 3) AS VARCHAR) || ':x') AS text
   FROM documents WHERE doc_id % 7 = 5
 ), {side('b', 'documents')}, {side('d', 'delta')}, cands AS (
   SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS cand_id

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -249,6 +249,7 @@ def incremental_lsh_check(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    caches: list | None = None,
 ) -> DataFrame:
     """Check an ARRIVING batch against a persisted near-dup index — the
     index-maintenance shape streaming/incremental ingestion needs at 100 TB:
@@ -266,12 +267,17 @@ def incremental_lsh_check(
                      (null if no candidates)
     """
     # persisted for the same reason as minhash_dedup_pairs: each signature
-    # table feeds both its banding branch and the verify join — and like
-    # there, the cache is deliberately left alive with the returned lazy
-    # plan (at production scale this materialization IS the index table
-    # you'd write out; callers that drain eagerly may unpersist after).
+    # table feeds both its banding branch and the verify join.  `caches`
+    # (when given) collects the persisted frames so a caller that drains
+    # the result eagerly can unpersist them — without it the two fat
+    # signature tables live for the session (at production scale the
+    # materialization IS the index table you'd write out, but a gate
+    # session running 100+ entries must keep storage memory bounded; the
+    # streaming twin q_stream_lsh_dedup already unpersists after draining).
     base_sigs = shingle_minhash(base_docs, text_col, id_col, n, num_hashes).persist()
     delta_sigs = shingle_minhash(delta_docs, text_col, id_col, n, num_hashes).persist()
+    if caches is not None:
+        caches.extend([base_sigs, delta_sigs])
     base_long = band_long(base_sigs, id_col, num_hashes, bands)
     delta_long = band_long(delta_sigs, id_col, num_hashes, bands)
     cands = (
@@ -591,13 +597,18 @@ def duplicate_span_stats(
     ONE linear pipeline over it (the corpus is scanned and span-hashed
     exactly once; no self-join, no all-pairs, no recompute of the span
     derivation per output column): distinct (doc, span) via groupBy, then
-    the per-span doc count as a count-over-Window on the span key, then one
-    groupBy back to the doc.  Short docs ride through as a single null-span
-    row (explode_outer), so no join back to the input is needed.  Skew
-    note: a boilerplate span shared by millions of docs lands in one
-    window partition — it is only COUNTED there (narrow rows, no
-    collection); the null-span partition is bounded by the number of
-    short docs."""
+    the per-span doc count as a groupBy("span").count() PARTIAL-FINAL
+    aggregate joined back onto the (doc, span) relation.  Short docs ride
+    through as a single null-span row (explode_outer), so no join back to
+    the input is needed.  Skew note: a boilerplate span shared by millions
+    of docs (license headers — precisely what this audit exists to find) is
+    a hot key; the groupBy absorbs it map-side (partial counts), and the
+    count join back is a plain shuffled equi-join AQE's skew-join splits
+    (tests/test_plans.py asserts both the absence of a span-keyed window
+    and the AQE split behavior) — unlike a count-over-Window on the span
+    key, whose hot partition is one unsplittable WindowExec task.  The
+    doc_spans relation is distinct per (doc, span) by construction, so the
+    join-back count is identical to the window form it replaces."""
     toks = F.col(tokens_col)
     spans_or_empty = F.when(F.size(toks) >= k, token_span_keys(toks, k)).otherwise(
         F.array().cast("array<string>")
@@ -608,9 +619,14 @@ def duplicate_span_stats(
         .agg(F.count(F.lit(1)).alias("_occ"))
         .drop("_occ")
     )
-    per = doc_spans.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("span"))
+    span_counts = (
+        doc_spans.where(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    # left join: the null-span rows of short docs never match (null keys
+    # don't equi-join) and keep n_docs null, which span_ok masks out below.
+    per = doc_spans.join(span_counts, "span", "left")
     span_ok = F.col("span").isNotNull()
     out = per.groupBy(id_col).agg(
         F.sum(F.when(span_ok, 1).otherwise(0)).cast("long").alias("n_spans"),

@@ -77,13 +77,23 @@ def importance_features(
     - ``t_mass``       — sum over the doc's words of the TARGET corpus's
                          count in that word's bucket
     - ``r_mass``       — same against the RAW (full-corpus) distribution
-    - ``dsir_permille``— floor(1000 * t_mass * R / (r_mass * T)) where
+    - ``dsir_permille``— floor((t_mass * R * 1000) / (r_mass * T)) where
                          T/R are the total target/raw masses: the
                          ratio-of-means proxy for the likelihood ratio
                          p_target/p_raw, == 1000 for a perfectly
                          domain-neutral doc.  r_mass >= n_words > 0 by
                          construction (every word counts itself in the
                          raw distribution), so the division is total.
+                         The ratio is computed in IEEE DOUBLES, not int64:
+                         at the corpus scale this module targets, the
+                         numerator t_mass * R * 1000 blows past 2^63 and
+                         would silently wrap under non-ANSI Spark (the
+                         temperature_mix factor_permille precedent —
+                         textops/sampling.py).  Every operand is an exact
+                         integer below 2^53 far beyond gate scale, and *,
+                         /, floor are correctly rounded, so the permille
+                         stays bit-identical across engines as long as the
+                         oracle evaluates the same double expression tree.
 
     ``target_filter`` selects the trusted target slice (e.g.
     ``F.col("source") == "wiki"``).  Docs with no words are dropped (they
@@ -125,8 +135,12 @@ def importance_features(
         F.col("t_mass").cast("long").alias("t_mass"),
         F.col("r_mass").cast("long").alias("r_mass"),
         F.floor(
-            (F.col("t_mass") * F.col("_R") * F.lit(1000))
-            / (F.col("r_mass") * F.col("_T"))
+            (
+                F.col("t_mass").cast("double")
+                * F.col("_R").cast("double")
+                * F.lit(1000.0)
+            )
+            / (F.col("r_mass").cast("double") * F.col("_T").cast("double"))
         )
         .cast("long")
         .alias("dsir_permille"),

@@ -357,3 +357,21 @@ def test_round4b_queries_plan_shape(spark):
     assert rerank.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in rerank
     mix = _plan(reg["mix_temperature"][0](spark, sf))
     assert "BroadcastNestedLoopJoin" in mix or "BroadcastHashJoin" in mix
+
+
+def test_span_stats_no_window_on_span_key(spark):
+    """duplicate_span_stats counts span document-frequency with a
+    groupBy("span") + join back (partial-final agg, AQE-skew-splittable
+    join), NEVER a count-over-Window on the span key: a boilerplate span
+    shared by millions of docs would land in ONE unsplittable WindowExec
+    partition (VERDICT r4 finding #1).  The plan must carry no Window
+    node at all."""
+    from mysql_log_parser_spark.textops.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, list(range(30))), (2, list(range(30))), (3, [1, 2])],
+        "doc_id long, tokens array<int>",
+    )
+    plan = _plan(duplicate_span_stats(df, k=8))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final span count
