@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2255,7 +2257,11 @@ def q_snapshot_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = TokensTable(spark, loc)
     assert t.current_snapshot_id() == _SNAP_CHUNKS
-    delta = t.read_snapshot_range(_SNAP_SAVED)  # (saved, current]
+    # the checkpoint persisted (id, file) pairs too; the resume read
+    # asserts the current log still extends them (renumbered history
+    # fails loudly — tokens_table.assert_log_extends)
+    saved_log = t.snapshots()[:_SNAP_SAVED]
+    delta = t.read_snapshot_range(_SNAP_SAVED, saved_log=saved_log)  # (saved, current]
     ev = promote_metrics(with_fingerprint(parse_slowlog(delta)))
     return ev.groupBy("class_id").agg(
         F.first("fingerprint").alias("fingerprint"),
@@ -2644,3 +2650,357 @@ WHERE q.vec_id < {_IVF_NQ}
 
 
 EXT_QUERIES["ann_pq_recall"] = (q_ann_pq_recall, _o_ann_pq_recall())
+
+
+# -- residual IVF-PQ (FAISS IVFADC proper: codes quantize v - centroid[cell]) --
+
+_RPQ_M = 16      # subspaces (sub-dim 4: fine enough that 16 codes carry signal)
+_RPQ_KS = 16     # codes per subspace codebook
+_RPQ_SCALE = 0.0625  # codebook spread matched to the residual distribution
+                     # (2^-4: exact in both engines; the 1-parameter stand-in
+                     # for k-means codebook training — see pq.pq_codebooks)
+
+
+def _rpq_frames(spark: SparkSession, sf_dir: str):
+    """Shared prelude for the residual-PQ family: a deterministically
+    CLUSTERED corpus w = centroid[vec_id % C] + 0.25·v derived from the
+    embeddings table (exactly replayable in SQL: 0.25 is a power of two,
+    so per-element w_j = cent_j + 0.25·v_j is ONE identically-rounded IEEE
+    op in both engines), its cell assignment, RAW and RESIDUAL codes on
+    the index side, and RAW and RESIDUAL ADC LUTs + exact vectors on the
+    query side.
+
+    Why derive w at all: the synthetic embeddings are near-uniform, where
+    NO 16-byte code carries ordering signal (the existing ann_pq_recall
+    documents its own near-zero values) — but production embedding spaces
+    are clustered, and clustered is precisely where residual encoding
+    earns its keep: the codebook only has to cover the within-cell spread
+    (0.25·|v|) instead of the centroid-dominated global spread.  w makes
+    the audit measure that, deterministically.
+
+    Plan shape: w is ONE scalar pandas_udf (ArrowEvalPython — a
+    materialization barrier, so the hundreds of downstream dot folds
+    reference a materialized column, never re-evaluate the derivation);
+    everything after is the IVFADC layout of _ivfpq_frames."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from mysql_log_parser_spark.textops.pq import (
+        adc_lut_cols,
+        pq_codebooks,
+        pq_encode,
+        pq_encode_residual,
+        residual_lut_cols,
+    )
+    from mysql_log_parser_spark.textops.similarity import norm
+
+    books = pq_codebooks(_RPQ_M, _RPQ_KS, _IVF_DIM, scale=_RPQ_SCALE)
+    cents = _centroid_literals()
+    cent_arr = np.asarray(cents, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def wcol(vid: pd.Series, v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        w = cent_arr[vid.to_numpy() % len(cent_arr)] + 0.25 * m
+        return pd.Series(list(w))
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    wdf = e.select("vec_id", wcol("vec_id", "v").alias("w"))
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(_dot_lit(F.col("w"), cents[c]).alias("d"), F.lit(-c).alias("nc"))
+                for c in range(_IVF_C)
+            ]
+        )
+    )
+    cells = wdf.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    coded = pq_encode_residual(
+        pq_encode(cells, books, vec_col="w", kernel="catalyst"),
+        books, cents, vec_col="w", cell_col="cell", kernel="catalyst",
+    )
+    n = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("w").alias("nw"),
+        norm(F.col("w")).alias("_nn"),
+        *[F.col(f"code{s}").cast("long").alias(f"code{s}") for s in range(_RPQ_M)],
+        *[F.col(f"rcode{s}").cast("long").alias(f"rcode{s}") for s in range(_RPQ_M)],
+    )
+    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("w").alias("qw"),
+        norm(F.col("w")).alias("_qn"),
+        *adc_lut_cols(F.col("w"), books),
+        *residual_lut_cols(F.col("w"), F.col("cell"), books, cents),
+    )
+    return cells, n, q
+
+
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — FAISS IVFADC proper (Jégou et al.
+    2011 §IV): the index stores argmin_c |(v − centroid[cell]) − c|² and
+    the query scores through a LUT built on ITS residual, so the codebook
+    budget covers only the within-cell spread.  Implemented with NO
+    residual column anywhere in the plan: the centroid contribution to
+    every argmin/LUT term is a per-(cell, subspace, code) constant folded
+    at plan time (textops/pq.residual_const1) and selected by one
+    element_at on the row's cell id — the per-row work stays the same dot
+    folds as raw encoding, and the DuckDB oracle replays every digit.
+    Top-k per query by residual ADC distance, ascending."""
+    from mysql_log_parser_spark.textops.pq import adc_distance
+
+    _, n, q = _rpq_frames(spark, sf_dir)
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc6", F.round(adc_distance(_RPQ_M, "rlut", "rcode"), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "cell", "neighbor_id", "adc6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_ann_pq_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-vs-residual recall audit on the SAME candidates — the
+    regression metric that justifies shipping residual encoding: per
+    query, |top-k by raw ADC ∩ top-k by exact cosine| next to |top-k by
+    RESIDUAL ADC ∩ same exact top-k|, integer permille.  On the clustered
+    corpus residual recall must dominate (asserted in
+    tests/test_pq.py) — same byte budget, the codebook just stops wasting
+    range on the centroid offset."""
+    from mysql_log_parser_spark.textops.pq import adc_distance
+    from mysql_log_parser_spark.textops.similarity import cosine_prenorm
+
+    _, n, q = _rpq_frames(spark, sf_dir)
+    cand = (
+        n.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adcr6", F.round(adc_distance(_RPQ_M, "lut", "code"), 6))
+        .withColumn("adcs6", F.round(adc_distance(_RPQ_M, "rlut", "rcode"), 6))
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_prenorm(F.col("qw"), F.col("nw"), F.col("_qn"), F.col("_nn")),
+                6,
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adcr6"), F.asc("neighbor_id"))
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adcs6"), F.asc("neighbor_id"))
+    wx = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    ranked = cand.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(wr).alias("raw_rank"),
+        F.row_number().over(ws).alias("res_rank"),
+        F.row_number().over(wx).alias("exact_rank"),
+    )
+    hit = ranked.where(F.col("exact_rank") <= _IVF_K).groupBy("query_id").agg(
+        F.sum(F.when(F.col("raw_rank") <= _IVF_K, 1).otherwise(0)).alias("n_raw"),
+        F.sum(F.when(F.col("res_rank") <= _IVF_K, 1).otherwise(0)).alias("n_res"),
+    )
+    return (
+        q.select("query_id")
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_raw", F.lit(0)).cast("long").alias("n_overlap_raw"),
+            F.coalesce("n_res", F.lit(0)).cast("long").alias("n_overlap_res"),
+            F.expr(f"(1000 * coalesce(n_raw, 0)) DIV {_IVF_K}")
+            .cast("long").alias("recall_raw_permille"),
+            F.expr(f"(1000 * coalesce(n_res, 0)) DIV {_IVF_K}")
+            .cast("long").alias("recall_res_permille"),
+        )
+    )
+
+
+def _rpq_sql_parts() -> dict:
+    """SQL fragments for the residual-PQ oracle family, with expression
+    trees (operand order, parenthesization, constant literals) matched
+    digit-for-digit to _rpq_frames' Spark side: the derived clustered
+    corpus w, the 4-cell CASE, raw + residual code argmins, and raw +
+    residual ADC expressions."""
+    from mysql_log_parser_spark.textops.pq import pq_codebooks, residual_const1
+
+    books = pq_codebooks(_RPQ_M, _RPQ_KS, _IVF_DIM, scale=_RPQ_SCALE)
+    cents = _centroid_literals()
+    c1 = residual_const1(books, cents)
+    sub = _IVF_DIM // _RPQ_M
+    cmat = "[" + ", ".join(str(c) for c in cents) + "]"
+    w_expr = (
+        f"list_transform(generate_series(1, {_IVF_DIM}), "
+        f"j -> ({cmat})[vec_id % {_IVF_C} + 1][j] + 0.25 * v[j])"
+    )
+    dots = ", ".join(
+        f"list_dot_product(w, {cents[c]}) AS d{c}" for c in range(_IVF_C)
+    )
+    cell = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+
+    def sl(col: str, s: int) -> str:
+        return f"{col}[{s * sub + 1}:{(s + 1) * sub}]"
+
+    def cand_raw(col: str, s: int, ci: int) -> str:
+        c = books[s][ci]
+        cc = sum(x * x for x in c)
+        return f"list_dot_product({sl(col, s)}, {c}) * -2.0 + {cc!r}"
+
+    def cand_res(col: str, cellref: str, s: int, ci: int) -> str:
+        c = books[s][ci]
+        return (
+            f"-2.0 * list_dot_product({sl(col, s)}, {c})"
+            f" + ({c1[s][ci]})[{cellref} + 1]"
+        )
+
+    codes = ", ".join(
+        "CAST(list_sort(["
+        + ", ".join(
+            f"{{'d': {cand_raw('w', s, ci)}, 'c': {ci}}}" for ci in range(_RPQ_KS)
+        )
+        + f"])[1].c AS BIGINT) AS code{s}"
+        for s in range(_RPQ_M)
+    )
+    rcodes = ", ".join(
+        "CAST(list_sort(["
+        + ", ".join(
+            f"{{'d': {cand_res('w', 'cell', s, ci)}, 'c': {ci}}}"
+            for ci in range(_RPQ_KS)
+        )
+        + f"])[1].c AS BIGINT) AS rcode{s}"
+        for s in range(_RPQ_M)
+    )
+
+    # raw ADC: identical parenthesization to pq.adc_lut_cols/adc_distance
+    raw_terms = []
+    for s in range(_RPQ_M):
+        qq = f"list_dot_product({sl('q.w', s)}, {sl('q.w', s)})"
+        lut = (
+            "["
+            + ", ".join(
+                f"({cand_raw('q.w', s, ci)}) + {qq}" for ci in range(_RPQ_KS)
+            )
+            + "]"
+        )
+        raw_terms.append(f"({lut})[n.code{s} + 1]")
+    adc_raw = raw_terms[0]
+    for t in raw_terms[1:]:
+        adc_raw = f"({adc_raw}) + ({t})"
+
+    # residual ADC: rlut entry = ((-2·dot(q_m,c) + c1[cell]) + qres_s),
+    # qres_s = ((|q_m|² + -2·dcent[cell]) + ccn[cell]) — matches
+    # pq.residual_lut_cols' tree exactly
+    res_terms = []
+    for s in range(_RPQ_M):
+        cent_slices = [cents[i][s * sub : (s + 1) * sub] for i in range(_IVF_C)]
+        dc = "[" + ", ".join(
+            f"list_dot_product({sl('q.w', s)}, {cs})" for cs in cent_slices
+        ) + "]"
+        ccn = str([sum(x * x for x in cs) for cs in cent_slices])
+        qq = f"list_dot_product({sl('q.w', s)}, {sl('q.w', s)})"
+        qres = f"(({qq} + -2.0 * ({dc})[q.cell + 1]) + ({ccn})[q.cell + 1])"
+        lut = (
+            "["
+            + ", ".join(
+                f"({cand_res('q.w', 'q.cell', s, ci)}) + {qres}"
+                for ci in range(_RPQ_KS)
+            )
+            + "]"
+        )
+        res_terms.append(f"({lut})[n.rcode{s} + 1]")
+    adc_res = res_terms[0]
+    for t in res_terms[1:]:
+        adc_res = f"({adc_res}) + ({t})"
+
+    ctes = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), wt AS (
+  SELECT vec_id, {w_expr} AS w FROM e
+), d AS (
+  SELECT vec_id, w, {dots} FROM wt
+), cells AS (
+  SELECT vec_id, w, CAST({cell} AS BIGINT) AS cell FROM d
+), coded AS (
+  SELECT vec_id, w, cell, {codes}, {rcodes} FROM cells
+)"""
+    return {"ctes": ctes, "adc_raw": adc_raw, "adc_res": adc_res}
+
+
+def _o_ann_ivfpq_residual() -> str:
+    p = _rpq_sql_parts()
+    return p["ctes"] + f""", scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, n.vec_id AS neighbor_id,
+         round({p['adc_res']}, 6) AS adc6
+  FROM coded n JOIN cells q USING (cell)
+  WHERE q.vec_id < {_IVF_NQ} AND n.vec_id != q.vec_id
+), rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc6, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, adc6, CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= {_IVF_K}
+"""
+
+
+def _o_ann_pq_recall_residual() -> str:
+    p = _rpq_sql_parts()
+    return p["ctes"] + f""", cand AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({p['adc_raw']}, 6) AS adcr6,
+         round({p['adc_res']}, 6) AS adcs6,
+         round(list_dot_product(q.w, n.w)
+               / (sqrt(list_dot_product(q.w, q.w))
+                  * sqrt(list_dot_product(n.w, n.w))), 6) AS cos6
+  FROM coded n JOIN cells q USING (cell)
+  WHERE q.vec_id < {_IVF_NQ} AND n.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adcr6, neighbor_id) AS raw_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adcs6, neighbor_id) AS res_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS exact_rank
+  FROM cand
+), hit AS (
+  SELECT query_id,
+         sum(CASE WHEN raw_rank <= {_IVF_K} THEN 1 ELSE 0 END) AS n_raw,
+         sum(CASE WHEN res_rank <= {_IVF_K} THEN 1 ELSE 0 END) AS n_res
+  FROM ranked WHERE exact_rank <= {_IVF_K}
+  GROUP BY query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n_raw, 0) AS BIGINT) AS n_overlap_raw,
+       CAST(coalesce(h.n_res, 0) AS BIGINT) AS n_overlap_res,
+       CAST((1000 * coalesce(h.n_raw, 0)) // {_IVF_K} AS BIGINT)
+         AS recall_raw_permille,
+       CAST((1000 * coalesce(h.n_res, 0)) // {_IVF_K} AS BIGINT)
+         AS recall_res_permille
+FROM cells q LEFT JOIN hit h ON h.query_id = q.vec_id
+WHERE q.vec_id < {_IVF_NQ}
+"""
+
+
+EXT_QUERIES["ann_ivfpq_residual"] = (q_ann_ivfpq_residual, _o_ann_ivfpq_residual())
+EXT_QUERIES["ann_pq_recall_residual"] = (
+    q_ann_pq_recall_residual,
+    _o_ann_pq_recall_residual(),
+)

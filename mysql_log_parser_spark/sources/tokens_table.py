@@ -115,8 +115,38 @@ class TokensTable:
         snaps = self.snapshots()
         return snaps[-1][0] if snaps else 0
 
+    def assert_log_extends(self, saved: list[tuple[int, str]]) -> None:
+        """Loud resume guard for the dir-backed snapshot emulation: the
+        CURRENT listing must be a superset-prefix of the checkpointed log
+        (same (id, file) pairs in the same order, possibly with new
+        appends after).  The emulation's id assignment is name-sort order
+        (snapshots()), which is stable ONLY while the dir stays
+        append-only with monotonically-sorting names — a compaction,
+        rename, or out-of-sort-order writer would renumber history and a
+        resume would silently double-read or drop chunks.  Persist
+        ``snapshots()`` next to the checkpoint id and pass it back here
+        (or as read_snapshot_range(saved_log=...)): a renumbered log then
+        fails HERE, loudly, instead of corrupting the delta.  Native
+        Iceberg does not need this (its log is never renumbered); the
+        method still validates the id sequence there."""
+        cur = self.snapshots()
+        want = [(int(i), n) for i, n in saved]
+        if cur[: len(want)] != want:
+            raise ValueError(
+                "tokens table snapshot log no longer extends the "
+                f"checkpointed log: checkpoint recorded {want[:5]}... "
+                f"({len(want)} snapshots) but the table now lists "
+                f"{cur[:5]}... ({len(cur)}).  History was renumbered "
+                "(compaction / rename / non-monotonic file name) — a "
+                "resume from this checkpoint would double-read or drop "
+                "chunks.  Re-bootstrap from snapshot 0 instead."
+            )
+
     def read_snapshot_range(
-        self, start_snapshot_id: int, end_snapshot_id: int | None = None
+        self,
+        start_snapshot_id: int,
+        end_snapshot_id: int | None = None,
+        saved_log: list[tuple[int, str]] | None = None,
     ) -> DataFrame:
         """Iceberg incremental read (the Options.StartOffset analogue at
         table granularity, ref log/parser/options.go:4): rows appended in
@@ -127,7 +157,15 @@ class TokensTable:
         incremental scan; dir-backed layouts read exactly the chunk files
         the emulated log (see snapshots()) assigns to that id range, so the
         resume loop — process, persist current_snapshot_id(), crash, read
-        (saved, current] — runs identically in both deployments."""
+        (saved, current] — runs identically in both deployments.
+
+        ``saved_log`` (recommended for dir-backed tables): the
+        ``snapshots()`` listing persisted with the checkpoint; the read
+        first asserts the current log still extends it
+        (assert_log_extends), so renumbered history fails loudly instead
+        of silently shifting which files the id range selects."""
+        if saved_log is not None:
+            self.assert_log_extends(saved_log)
         if _has_iceberg(self.spark, self.location):
             r = self.spark.read.format("iceberg")
             if start_snapshot_id == 0:

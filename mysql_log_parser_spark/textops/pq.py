@@ -23,12 +23,21 @@ Spark shapes:
   vector math at all, which is the entire point of ADC.
 
 Codebooks here are deterministic md5 literals (the k-means operators in
-entry_queries_ext train real ones in production); vectors are encoded RAW,
-not as cell residuals — FAISS's residual encoding needs the cell centroid
-subtracted first, which at gate exactness would mean referencing a zip_with
-column M times (the interpreted-HOF-no-CSE trap, CLAUDE.md); the Arrow
-kernel path lifts that restriction at scale.  No counterpart in the Go
-reference — training-data-pipeline surface.
+entry_queries_ext train real ones in production).  Vectors can be encoded
+RAW (`pq_code_cols`) or as CELL RESIDUALS v - centroid[cell] — the FAISS
+IVFADC layout proper, worth real recall at the same byte budget because the
+codebook only has to cover the within-cell spread, not the whole space.
+The residual path does NOT materialize a residual column (that would be a
+zip_with referenced M*Ks times — the interpreted-HOF-no-CSE trap,
+CLAUDE.md): the centroid contribution to every argmin/LUT term is a
+per-(cell, subspace, code) CONSTANT precomputed in Python —
+  -2·dot(v_m - cent_m, c) + |c|² = -2·dot(v_m, c) + [2·dot(cent_m, c) + |c|²]
+— so the bracket is a literal array indexed by the row's cell id
+(element_at), the only per-row work stays the SAME M*Ks dot folds as the
+raw path, and the expression tree is digit-for-digit replayable in the
+DuckDB oracle.  At production M*Ks*dim the Arrow kernel
+(`pq_encode_residual_arrow`) subtracts the centroid in numpy instead.  No
+counterpart in the Go reference — training-data-pipeline surface.
 """
 
 from __future__ import annotations
@@ -39,9 +48,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def pq_codebooks(m: int, ks: int, dim: int, salt: str = "pq") -> list[list[list[float]]]:
+def pq_codebooks(
+    m: int, ks: int, dim: int, salt: str = "pq", scale: float = 1.0
+) -> list[list[list[float]]]:
     """codebooks[s][c] = centroid c of subspace s (length dim//m) — md5
-    literals in [-1, 1], identical on both engines."""
+    literals in [-scale, scale], identical on both engines.  `scale`
+    matches the codebook to the encoded distribution's spread (the
+    1-parameter stand-in for k-means codebook training — residual
+    encodings have a much tighter spread than raw vectors, which is
+    exactly why residual wins recall at the same byte budget); powers of
+    two keep the literals exact in both engines."""
     sub = dim // m
     books = []
     for s in range(m):
@@ -50,7 +66,7 @@ def pq_codebooks(m: int, ks: int, dim: int, salt: str = "pq") -> list[list[list[
             row = []
             for j in range(sub):
                 h = hashlib.md5(f"{salt}s{s}c{c}d{j}".encode()).hexdigest()
-                row.append(((int(h[:8], 16) % 2001) - 1000) / 1000.0)
+                row.append((((int(h[:8], 16) % 2001) - 1000) / 1000.0) * scale)
             cents.append(row)
         books.append(cents)
     return books
@@ -118,13 +134,222 @@ def _sq_norm_slice(v: Column, start: int, n: int) -> Column:
     )
 
 
-def adc_distance(m: int) -> Column:
-    """Fixed-order sum of the M LUT lookups (columns lut{s} on the query
-    side, code{s} on the index side) — the only per-pair work ADC does."""
-    expr = F.element_at(F.col("lut0"), (F.col("code0") + 1).cast("int"))
+def adc_distance(m: int, lut_prefix: str = "lut", code_prefix: str = "code") -> Column:
+    """Fixed-order sum of the M LUT lookups (columns {lut_prefix}{s} on the
+    query side, {code_prefix}{s} on the index side) — the only per-pair
+    work ADC does.  Prefixes let the raw and residual index layouts
+    coexist in one frame."""
+    expr = F.element_at(
+        F.col(f"{lut_prefix}0"), (F.col(f"{code_prefix}0") + 1).cast("int")
+    )
     for s in range(1, m):
-        expr = expr + F.element_at(F.col(f"lut{s}"), (F.col(f"code{s}") + 1).cast("int"))
+        expr = expr + F.element_at(
+            F.col(f"{lut_prefix}{s}"), (F.col(f"{code_prefix}{s}") + 1).cast("int")
+        )
     return expr
+
+
+def _dot_py(a, b) -> float:
+    """Sequential Python dot — the deterministic constant-folding twin of
+    _dot_slice/list_dot_product, used ONLY at plan-build time to
+    precompute per-(cell, subspace, code) constants that both engines then
+    embed as identical double literals."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def residual_const1(
+    books: list[list[list[float]]], centroids: list[list[float]]
+) -> list[list[list[float]]]:
+    """c1[s][ci][cell] = 2·dot(cent_m(cell), c_ci) + |c_ci|² — the constant
+    that turns the raw argmin/LUT term into the RESIDUAL one:
+      -2·dot(v_m − cent_m, c) + |c|² = -2·dot(v_m, c) + c1[s][ci][cell].
+    Precomputed in Python so no residual column ever exists in the plan
+    (the HOF-no-CSE trap) and both engines embed identical literals."""
+    sub = len(books[0][0])
+    out = []
+    for s, cents_s in enumerate(books):
+        rows = []
+        for c in cents_s:
+            cc = sum(x * x for x in c)
+            rows.append(
+                [
+                    2.0 * _dot_py(cent[s * sub : (s + 1) * sub], c) + cc
+                    for cent in centroids
+                ]
+            )
+        out.append(rows)
+    return out
+
+
+def pq_residual_code_cols(
+    v: Column,
+    cell: Column,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+) -> list[Column]:
+    """Residual PQ codes (FAISS IVFADC): per subspace, argmin over the
+    codebook of |(v_m − cent_m(cell)) − c|² — evaluated WITHOUT a residual
+    column as -2·dot(v_m, c) + c1[s][ci][cell] (residual_const1), ties to
+    the smallest code.  Same M*Ks dot folds per row as the raw encoder;
+    the centroid contribution is one element_at per candidate."""
+    c1 = residual_const1(books, centroids)
+    sub = len(books[0][0])
+    cols = []
+    for s, cents_s in enumerate(books):
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(-2.0) * _dot_slice(v, s * sub, c)
+                        + F.element_at(
+                            F.array(*[F.lit(x) for x in c1[s][ci]]),
+                            (cell + 1).cast("int"),
+                        )
+                    ).alias("d"),
+                    F.lit(-ci).alias("nc"),
+                )
+                for ci, c in enumerate(cents_s)
+            ]
+        )
+        best = F.array_max(
+            F.transform(cands, lambda x: F.struct((-x["d"]).alias("nd"), x["nc"]))
+        )
+        cols.append((-best["nc"]).cast("int").alias(f"rcode{s}"))
+    return cols
+
+
+def residual_lut_cols(
+    qv: Column,
+    cell: Column,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    prefix: str = "rlut",
+) -> list[Column]:
+    """Per-query RESIDUAL ADC lookup tables: rlut{s}[c] = |r_m − c|² for
+    the query residual r = q − centroid[cell], expanded so no residual
+    column exists:
+      (−2·dot(q_m, c) + c1[s][c][cell]) + qres_s,
+      qres_s = |q_m|² + (−2)·dot(q_m, cent_m(cell)) + |cent_m(cell)|².
+    The per-cell pieces are element_at lookups (dot(q_m, cent_m) is a
+    C-entry array of folds — query side only, a handful of rows)."""
+    c1 = residual_const1(books, centroids)
+    sub = len(books[0][0])
+    ncell = len(centroids)
+    cols = []
+    for s, cents_s in enumerate(books):
+        cent_slices = [
+            centroids[i][s * sub : (s + 1) * sub] for i in range(ncell)
+        ]
+        dcent = F.element_at(
+            F.array(*[_dot_slice(qv, s * sub, cs) for cs in cent_slices]),
+            (cell + 1).cast("int"),
+        )
+        ccn = F.element_at(
+            F.array(*[F.lit(sum(x * x for x in cs)) for cs in cent_slices]),
+            (cell + 1).cast("int"),
+        )
+        qres = _sq_norm_slice(qv, s * sub, sub) + F.lit(-2.0) * dcent + ccn
+        lut = F.array(
+            *[
+                (
+                    F.lit(-2.0) * _dot_slice(qv, s * sub, c)
+                    + F.element_at(
+                        F.array(*[F.lit(x) for x in c1[s][ci]]),
+                        (cell + 1).cast("int"),
+                    )
+                )
+                + qres
+                for ci, c in enumerate(cents_s)
+            ]
+        )
+        cols.append(lut.alias(f"{prefix}{s}"))
+    return cols
+
+
+def pq_encode_residual_arrow(
+    df,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    prefix: str = "rcode",
+):
+    """Arrow-kernel residual encoder — the production path: one
+    mapInPandas pass subtracts the row's cell centroid in numpy and runs
+    the same matmul argmin as pq_encode_arrow.  Plan size O(1) in M, Ks,
+    dim, and cell count; centroids + codebooks ride the closure.  Argmin
+    agreement with the Catalyst constant-folded path is exact except for
+    sub-ulp near-ties (BLAS vs sequential summation) — unit-asserted on
+    the gate corpus; the gate itself pins the Catalyst path."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = len(books)
+    sub = len(books[0][0])
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    ccs = [np.sum(c * c, axis=1) for c in mats]
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, dim)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{s}", IntegerType()) for s in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                for s in range(m):
+                    pdf[f"{prefix}{s}"] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"pq_encode_residual: null {vec_col!r} vector in batch "
+                    "— filter nulls first (kernel-parity contract, see "
+                    "pq_encode_arrow)"
+                )
+            v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            r = v - cents[pdf[cell_col].to_numpy().astype(np.int64)]
+            for s in range(m):
+                rm = r[:, s * sub : (s + 1) * sub]
+                dist = -2.0 * (rm @ mats[s].T) + ccs[s]
+                pdf[f"{prefix}{s}"] = np.argmin(dist, axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def pq_encode_residual(
+    df,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    prefix: str = "rcode",
+    kernel: str = "auto",
+):
+    """Append the M residual PQ code columns (requires the coarse cell
+    column).  kernel='catalyst' is the constant-folded literal form the
+    DuckDB oracle replays digit-for-digit; 'arrow' the numpy
+    subtract-and-matmul form; 'auto' switches on the shared literal-count
+    threshold."""
+    from mysql_log_parser_spark.textops.similarity import _ARROW_LITERAL_SWITCH
+
+    m = len(books)
+    ks = len(books[0])
+    sub = len(books[0][0])
+    if kernel == "auto":
+        kernel = "arrow" if m * ks * sub >= _ARROW_LITERAL_SWITCH else "catalyst"
+    if kernel == "arrow":
+        return pq_encode_residual_arrow(df, books, centroids, vec_col, cell_col, prefix)
+    cols = pq_residual_code_cols(F.col(vec_col), F.col(cell_col), books, centroids)
+    return df.select(
+        "*", *[c.cast("int").alias(f"{prefix}{s}") for s, c in enumerate(cols)]
+    )
 
 
 def pq_encode_arrow(

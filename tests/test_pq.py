@@ -126,3 +126,58 @@ def test_pq_auto_switch(spark):
         kernel="auto",
     )
     assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_residual_encode_arrow_matches_catalyst(spark):
+    """Residual encoder kernel parity on the gate corpus: the Arrow
+    subtract-and-matmul path assigns the same codes as the Catalyst
+    constant-folded path (pq.residual_const1) — the constant-fold identity
+    -2·dot(v−cent, c) + |c|² = -2·dot(v, c) + (2·dot(cent, c) + |c|²)
+    holds to within sub-ulp, so argmins agree on real data."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_ext import _centroid_literals
+    from mysql_log_parser_spark.textops.pq import pq_codebooks, pq_encode_residual
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    books = pq_codebooks(4, 8, 64)
+    cents = _centroid_literals()
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 4).cast("long").alias("cell"),
+    )
+    a = {
+        r["vec_id"]: tuple(r[f"rcode{s}"] for s in range(4))
+        for r in pq_encode_residual(e, books, cents, kernel="catalyst").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r[f"rcode{s}"] for s in range(4))
+        for r in pq_encode_residual(e, books, cents, kernel="arrow").collect()
+    }
+    assert a == b and len(a) > 0
+    plan = (
+        pq_encode_residual(e, books, cents, kernel="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+
+
+def test_residual_recall_dominates_raw(spark):
+    """The point of residual encoding: on the clustered audit corpus the
+    residual codes recover MORE of the exact top-k than raw codes at the
+    same byte budget (VERDICT r4 next-round #4: 'recall audit showing
+    residual >= raw')."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_ext import q_ann_pq_recall_residual
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    rows = q_ann_pq_recall_residual(spark, sf).collect()
+    raw = sum(r["n_overlap_raw"] for r in rows)
+    res = sum(r["n_overlap_res"] for r in rows)
+    assert res > raw, (raw, res)
