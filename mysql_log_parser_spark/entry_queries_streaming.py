@@ -376,7 +376,16 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding via band_long(keep_cols)).  Verified (delta, cand, jaccard)
     rows land append-mode in the sink; the per-doc verdict aggregation is
     batch over the drained sink.  Oracle: identical derivation to the
-    batch gate (entry_queries_textops._o_incremental_lsh)."""
+    batch gate (entry_queries_textops._o_incremental_lsh).
+
+    Index MAINTENANCE is the same loop the batch ingester gates end-to-end
+    (textops/dedup.incremental_lsh_ingest, `incremental_lsh_append` entry):
+    per micro-batch, append the ACCEPTED docs' band_long + sh rows to the
+    index tables and refresh the static side (unpersist/re-read — Spark
+    stream-static joins do not see static-side updates within a persisted
+    plan).  Here the static index is read-only for the gate's single
+    bounded drain; the two-batch append semantics — accepted docs indexed,
+    rejected never — are pinned by the batch twin's oracle."""
     from mysql_log_parser_spark.entry_queries_textops import (
         _BANDS,
         _MH,

@@ -2651,7 +2651,11 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _o_incremental_lsh() -> str:
+def _o_lsh_side(suffix: str, src: str) -> str:
+    """Shared oracle builder: shingle -> minhash -> band chain for one doc
+    source, emitting CTEs sh_/hv_/sigs_/shs_/banded_/long_{suffix}.  Both
+    LSH-index oracles (the one-batch checker and the self-maintaining
+    ingest loop) splice these per side so the signature spec lives once."""
     rows = _MH // _BANDS
     mh = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(_MH))
     bands = ", ".join(
@@ -2660,13 +2664,11 @@ def _o_incremental_lsh() -> str:
         + f") AS band{b}"
         for b in range(_BANDS)
     )
-
-    def side(suffix: str, src: str) -> str:
-        band_rows = " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded_{suffix}"
-            for b in range(_BANDS)
-        )
-        return f"""sh_{suffix} AS (
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded_{suffix}"
+        for b in range(_BANDS)
+    )
+    return f"""sh_{suffix} AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(len(ws) - {_NGRAM - 1}, 0)),
@@ -2686,6 +2688,9 @@ def _o_incremental_lsh() -> str:
   {band_rows}
 )"""
 
+
+def _o_incremental_lsh() -> str:
+    side = _o_lsh_side
     return f"""
 WITH delta AS (
   SELECT -(doc_id * 4 + 1) AS doc_id, text || ' zzz qqq' AS text
@@ -2734,6 +2739,151 @@ FROM delta d LEFT JOIN best b ON b.delta_id = d.doc_id
 
 
 TEXTOPS_QUERIES["incremental_lsh_dedup"] = (q_incremental_lsh, _o_incremental_lsh())
+
+
+# -- 35b. self-maintaining LSH index (two-batch admission loop) -----------------
+
+
+def q_incremental_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch admission loop through the SELF-MAINTAINING index
+    (textops/dedup.incremental_lsh_ingest): the corpus's even docs seed the
+    on-disk index; batch 0 = the odd docs (checked, then the accepted ones'
+    signatures APPENDED to the index); batch 1 = injected probes that only
+    come out right if the append happened:
+
+      -(4*id+1), id % 14 == 1 (odd)   appended-tail near-copies of BATCH-0
+                                      docs -> flagged iff the batch-0
+                                      original was admitted and indexed —
+                                      the loop-closure evidence
+      -(4*id+2), id % 14 == 2 (even)  near-copies of SEED docs -> flagged
+                                      via the seed index (control: catches
+                                      a broken overwrite too)
+      -(4*id+3), id % 14 == 3         md5-gibberish fresh docs -> clean rows
+
+    Negative injected ids (distinct residues mod 4) are structurally
+    collision-free with corpus ids at any scale.  Verdicts are pinned
+    (localCheckpoint) inside the loop before each index mutation, so the
+    returned frame holds no parquet dependency on the scratch index."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from mysql_log_parser_spark.textops.dedup import incremental_lsh_ingest
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 2 == 0)
+    batch0 = d.where(F.col("doc_id") % 2 == 1)
+
+    def gib(idc):
+        return F.concat_ws(
+            " ",
+            *[F.md5(F.concat(idc.cast("string"), F.lit(f":{s}"))) for s in "abc"],
+        )
+
+    batch1 = (
+        d.where(F.col("doc_id") % 14 == 1)
+        .select(
+            (-(F.col("doc_id") * 4 + 1)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 14 == 2).select(
+                (-(F.col("doc_id") * 4 + 2)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" yyy www")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 14 == 3)
+            .select((-(F.col("doc_id") * 4 + 3)).alias("doc_id"))
+            .select("doc_id", gib(F.col("doc_id")).alias("text"))
+        )
+    )
+    idx = tempfile.mkdtemp(prefix="mlp_lsh_idx_")
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    out = incremental_lsh_ingest(
+        base,
+        [batch0, batch1],
+        idx,
+        n=_NGRAM,
+        num_hashes=_MH,
+        bands=_BANDS,
+        threshold=_THRESH,
+    )
+    return out.withColumnRenamed("delta_id", "doc_id")
+
+
+def _o_incremental_lsh_append() -> str:
+    def verdicts(tag: str, delta: str, long_i: str, shs_i: str, batch: int) -> str:
+        return f"""c{tag} AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS cand_id
+  FROM long_{delta} d JOIN {long_i} b
+    ON d.band_idx = b.band_idx AND d.band_key = b.band_key
+), v{tag} AS (
+  SELECT c.delta_id, c.cand_id,
+         round(len(list_filter(sd.sh, x -> list_contains(sb.sh, x)))
+               / (len(sd.sh) + len(sb.sh)
+                  - len(list_filter(sd.sh, x -> list_contains(sb.sh, x)))), 6) AS j
+  FROM c{tag} c
+  JOIN shs_{delta} sd ON sd.doc_id = c.delta_id
+  JOIN {shs_i} sb ON sb.doc_id = c.cand_id
+), ranked{tag} AS (
+  SELECT delta_id, cand_id, j,
+         row_number() OVER (PARTITION BY delta_id
+                            ORDER BY j DESC, cand_id) AS rn
+  FROM v{tag}
+), agg{tag} AS (
+  SELECT delta_id, CAST(count(*) AS BIGINT) AS n_cands, max(j) AS maxj
+  FROM v{tag} GROUP BY delta_id
+), best{tag} AS (
+  SELECT a.delta_id, a.n_cands, a.maxj, r.cand_id AS best_match
+  FROM agg{tag} a JOIN ranked{tag} r
+    ON r.delta_id = a.delta_id AND r.rn = 1
+), out{tag} AS (
+  SELECT CAST({batch} AS BIGINT) AS batch, d.doc_id,
+         coalesce(b.n_cands, 0) AS n_cands,
+         coalesce(b.maxj >= {_THRESH}, false) AS is_dup,
+         coalesce(b.maxj, 0.0) AS best_jaccard,
+         CAST(b.best_match AS BIGINT) AS best_match
+  FROM {delta} d LEFT JOIN best{tag} b ON b.delta_id = d.doc_id
+)"""
+
+    return f"""
+WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+d1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+d2 AS (
+  SELECT -(doc_id * 4 + 1) AS doc_id, text || ' zzz qqq' AS text
+  FROM documents WHERE doc_id % 14 = 1
+  UNION ALL
+  SELECT -(doc_id * 4 + 2) AS doc_id, text || ' yyy www' AS text
+  FROM documents WHERE doc_id % 14 = 2
+  UNION ALL
+  SELECT -(doc_id * 4 + 3) AS doc_id,
+         concat_ws(' ', md5(CAST(-(doc_id * 4 + 3) AS VARCHAR) || ':a'),
+                        md5(CAST(-(doc_id * 4 + 3) AS VARCHAR) || ':b'),
+                        md5(CAST(-(doc_id * 4 + 3) AS VARCHAR) || ':c')) AS text
+  FROM documents WHERE doc_id % 14 = 3
+), {_o_lsh_side('b0', 'b0')}, {_o_lsh_side('d1', 'd1')}, {_o_lsh_side('d2', 'd2')},
+{verdicts('1', 'd1', 'long_b0', 'shs_b0', 0)}, acc1 AS (
+  SELECT d.doc_id FROM d1 d LEFT JOIN agg1 a ON a.delta_id = d.doc_id
+  WHERE NOT coalesce(a.maxj >= {_THRESH}, false)
+), long_i AS (
+  SELECT doc_id, band_idx, band_key FROM long_b0
+  UNION ALL
+  SELECT l.doc_id, l.band_idx, l.band_key
+  FROM long_d1 l JOIN acc1 a ON a.doc_id = l.doc_id
+), shs_i AS (
+  SELECT doc_id, sh FROM shs_b0
+  UNION ALL
+  SELECT s.doc_id, s.sh FROM shs_d1 s JOIN acc1 a ON a.doc_id = s.doc_id
+), {verdicts('2', 'd2', 'long_i', 'shs_i', 1)}
+SELECT * FROM out1 UNION ALL SELECT * FROM out2
+"""
+
+
+TEXTOPS_QUERIES["incremental_lsh_append"] = (
+    q_incremental_lsh_append,
+    _o_incremental_lsh_append(),
+)
 
 
 # -- 36. character-concentration junk signal ------------------------------------

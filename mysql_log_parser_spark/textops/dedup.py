@@ -329,6 +329,126 @@ def lsh_verdicts(
     )
 
 
+def write_lsh_index(
+    sigs: DataFrame,
+    index_dir: str,
+    mode: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Materialize a signature table as the on-disk LSH index two tables:
+    ``{index_dir}/bands`` (id, band_idx, band_key) — what candidate
+    generation buckets on — and ``{index_dir}/sigs`` (id, sh) — what the
+    exact-Jaccard verify stage reads.  Shingle-less docs (null mh) are not
+    indexable and are excluded from both: they can never band-match, so
+    storing them would only bloat the verify store.  ``mode='append'`` is
+    the per-batch maintenance write of the admission loop below."""
+    band_long(
+        sigs.where(F.col("mh").isNotNull()), id_col, num_hashes, bands
+    ).write.mode(mode).parquet(index_dir + "/bands")
+    sigs.where(F.col("mh").isNotNull()).select(id_col, "sh").write.mode(
+        mode
+    ).parquet(index_dir + "/sigs")
+
+
+def incremental_lsh_ingest(
+    base_docs: DataFrame,
+    batches: list[DataFrame],
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """SELF-MAINTAINING near-dup admission loop: each arriving batch is
+    checked against the persisted index table, and the ACCEPTED (non-dup)
+    docs' signatures are appended back — so batch i+1's near-dups *of batch
+    i* are caught, not just near-dups of the seed corpus.  This closes the
+    loop `incremental_lsh_check` leaves open (that checker reads an index
+    nothing maintains).
+
+    Semantics per batch: candidates come from the index as of the batch's
+    arrival (seed ∪ all previously accepted docs).  Intra-batch pairs are
+    NOT checked against each other — admission control compares arrivals to
+    the admitted corpus, same as the streaming twin (stream_lsh_dedup);
+    callers that need intra-batch dedup run `minhash_dedup_pairs` on the
+    batch first.  Rejected docs are never indexed: a later near-copy of a
+    rejected doc still flags via the admitted doc that caused the
+    rejection (or passes, if the rejection was borderline) — exactly the
+    replayable rule the DuckDB oracle mirrors.
+
+    At 100 TB the index tables are the parquet tables you would keep
+    anyway; per-batch cost is |delta| signature rows + the matched band
+    buckets + one append of the accepted subset — never a re-mine of the
+    admitted corpus, never delta x delta.
+
+    Returns one verdict row per doc per batch (batch long, delta_id,
+    n_cands, is_dup, best_jaccard, best_match), schema shared with
+    `lsh_verdicts`."""
+    spark = base_docs.sparkSession
+    base_sigs = shingle_minhash(base_docs, text_col, id_col, n, num_hashes)
+    write_lsh_index(base_sigs, index_dir, "overwrite", id_col, num_hashes, bands)
+    out: DataFrame | None = None
+    for i, batch in enumerate(batches):
+        delta_sigs = shingle_minhash(
+            batch, text_col, id_col, n, num_hashes
+        ).persist()
+        idx_bands = spark.read.parquet(index_dir + "/bands")
+        idx_sigs = spark.read.parquet(index_dir + "/sigs")
+        delta_long = band_long(delta_sigs, id_col, num_hashes, bands)
+        cands = (
+            delta_long.withColumnRenamed(id_col, "delta_id")
+            .join(
+                idx_bands.withColumnRenamed(id_col, "cand_id"),
+                ["band_idx", "band_key"],
+            )
+            .select("delta_id", "cand_id")
+            .distinct()
+        )
+        verified = (
+            cands.join(
+                delta_sigs.select(
+                    F.col(id_col).alias("delta_id"), F.col("sh").alias("sh_d")
+                ),
+                "delta_id",
+            )
+            .join(
+                idx_sigs.select(
+                    F.col(id_col).alias("cand_id"), F.col("sh").alias("sh_b")
+                ),
+                "cand_id",
+            )
+            .withColumn("j", F.round(jaccard(F.col("sh_d"), F.col("sh_b")), 6))
+        )
+        verdicts = lsh_verdicts(
+            verified, delta_sigs.select(F.col(id_col).alias("delta_id")), threshold
+        ).withColumn("batch", F.lit(i).cast("long"))
+        # Pin the verdicts BEFORE mutating the index: their lazy plan reads
+        # the index parquet, and appending first would make the plan read
+        # its own output (double-counting candidates) on evaluation.
+        verdicts = verdicts.localCheckpoint(eager=True)
+        accepted = verdicts.where(~F.col("is_dup")).select(
+            F.col("delta_id").alias(id_col)
+        )
+        write_lsh_index(
+            delta_sigs.join(accepted, id_col, "semi"),
+            index_dir,
+            "append",
+            id_col,
+            num_hashes,
+            bands,
+        )
+        delta_sigs.unpersist()
+        out = verdicts if out is None else out.unionByName(verdicts)
+    assert out is not None, "incremental_lsh_ingest: no batches given"
+    return out.select(
+        "batch", "delta_id", "n_cands", "is_dup", "best_jaccard", "best_match"
+    )
+
+
 def ngram_jaccard_pairs_bruteforce(
     docs: DataFrame,
     text_col: str = "text",

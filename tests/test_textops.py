@@ -938,6 +938,59 @@ def test_incremental_lsh_check(spark):
     assert out[11]["best_jaccard"] == 0.0 and out[11]["best_match"] is None
 
 
+def test_incremental_lsh_ingest_appends_accepted(spark, tmp_path):
+    """Loop closure: a batch-1 near-copy of a BATCH-0 doc is caught only
+    because batch 0's accepted signatures were appended to the index —
+    the base-only checker (no append) misses the same probe.  Rejected
+    docs are never indexed: a batch-1 near-copy of a batch-0 REJECTED doc
+    resolves via the seed doc that caused the rejection."""
+    from mysql_log_parser_spark.textops.dedup import (
+        incremental_lsh_check,
+        incremental_lsh_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        ["doc_id", "text"],
+    )
+    batch0 = spark.createDataFrame(
+        [
+            # fresh -> accepted -> appended
+            (10, "completely different content about mysql slow query logs here"),
+            # near-copy of seed doc 1 -> rejected -> NOT appended
+            (11, "the quick brown fox jumps over the lazy dog again and again t"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch1 = spark.createDataFrame(
+        [
+            # near-copy of ACCEPTED batch-0 doc 10 -> dup iff append happened
+            (20, "completely different content about mysql slow query logs here x"),
+            # near-copy of REJECTED doc 11 -> matches via seed doc 1
+            (21, "the quick brown fox jumps over the lazy dog again and again q"),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_hashes=8, bands=4, threshold=0.5)
+    out = {
+        (r["batch"], r["delta_id"]): r.asDict()
+        for r in incremental_lsh_ingest(
+            base, [batch0, batch1], str(tmp_path / "idx"), **kw
+        ).collect()
+    }
+    assert not out[(0, 10)]["is_dup"]
+    assert out[(0, 11)]["is_dup"] and out[(0, 11)]["best_match"] == 1
+    assert out[(1, 20)]["is_dup"] and out[(1, 20)]["best_match"] == 10
+    # rejected doc 11 is not in the index: 21 resolves via seed doc 1
+    assert out[(1, 21)]["is_dup"] and out[(1, 21)]["best_match"] == 1
+    # control: the maintenance-free checker misses the batch-0 near-dup
+    static = {
+        r["delta_id"]: r.asDict()
+        for r in incremental_lsh_check(base, batch1, **kw).collect()
+    }
+    assert not static[20]["is_dup"] and static[20]["n_cands"] == 0
+
+
 def test_char_diversity(spark):
     """Collision-index extremes: a single-char run scores exactly 1000
     permille on both signals; a string of all-distinct chars scores the
