@@ -1542,14 +1542,21 @@ def q_bpe_train8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n0.join(out, "doc_id")
 
 
-def _o_bpe_train_n(n: int) -> str:
+def _o_bpe_train_n(n: int, sample_where: str | None = None) -> str:
     """Chained-CTE DuckDB replay of n BPE rounds: the working text keeps
     merged ids as sentinel chars (chr(i) <-> id 255+i, valid while the
     corpus is ASCII — gated by the token_topk precondition test), each
     round recomputes the id-list view, picks argmax bigram with the
     (count desc, lead asc, next asc) tie-break via bg = lead*4096 + next,
     and applies a non-overlapping global replace (the merge_one property
-    test pins Spark's kernel to exactly replace() semantics)."""
+    test pins Spark's kernel to exactly replace() semantics).
+
+    `sample_where` (a doc_id predicate) restricts ONLY the per-round
+    bigram argmax to the training sample; the replace still rewrites every
+    doc — the replay of hash-sampled training (bpe_train_sampled), valid
+    because the rewrite is per-document so sampled docs evolve identically
+    in the sample-only and corpus-wide chains."""
+    sample_and = f" AND ({sample_where})" if sample_where else ""
     ids = (
         "list_transform(list_filter(string_split(t, ''), c -> c != ''), "
         f"c -> CASE WHEN unicode(c) BETWEEN 1 AND {n} THEN 255 + unicode(c) "
@@ -1565,7 +1572,7 @@ def _o_bpe_train_n(n: int) -> str:
   SELECT bg FROM (
     SELECT bg, count(*) AS n FROM (
       SELECT unnest([l[i]*4096 + l[i+1] for i in range(1, len(l))]) AS bg
-      FROM l{i - 1} WHERE len(l) >= 2
+      FROM l{i - 1} WHERE len(l) >= 2{sample_and}
     ) GROUP BY bg ORDER BY n DESC, bg LIMIT 1)
 )"""
         )
@@ -1601,6 +1608,52 @@ FROM t{n}
 O_BPE_TRAIN8 = _o_bpe_train_n(_BPE_N)
 
 TEXTOPS_QUERIES["bpe_train8"] = (q_bpe_train8, O_BPE_TRAIN8)
+
+
+# -- 23b. hash-sampled BPE training, corpus-wide apply --------------------------
+
+# Deterministic ~25% training sample: first hex digit of md5(doc_id) < '4'.
+# md5-of-decimal-string is engine-identical, so Spark and DuckDB carve the
+# exact same sample at any corpus size.
+_BPE_SAMPLE_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'"
+
+
+def q_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-vocab BPE: train 8 merges on the deterministic ~25%
+    md5(doc_id) sample, tokenize the FULL corpus with the learned table in
+    one Arrow pass (textops/bpe.bpe_train_sampled).  Pass cost drops from
+    n_merges full-corpus passes (bpe_train8) to n_merges sample passes +
+    ONE corpus-wide apply — the reduction a 30k-merge production vocab
+    needs.  The oracle replays the sampled argmax per round (bigram counts
+    over sampled docs only) with the replace applied corpus-wide, and
+    hash-compares every doc's final id sequence — a drift in the sample
+    membership, any round's pair choice, or the apply-side overlap rule
+    flips it."""
+    from mysql_log_parser_spark import entry_queries as EQ
+    from mysql_log_parser_spark.textops.bpe import bpe_train_sampled
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    pred = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    tokenized, _rounds = bpe_train_sampled(d, _BPE_N, pred)
+    n0 = d.select("doc_id", F.size("tokens").cast("long").alias("n0"))
+    out = tokenized.select(
+        "doc_id",
+        F.col("n_after").cast("long").alias("n_final"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tokens_merged", lambda t: t.cast("string"))
+            )
+        ).alias("merged_md5"),
+    )
+    return n0.join(out, "doc_id")
+
+
+TEXTOPS_QUERIES["bpe_train_sampled"] = (
+    q_bpe_train_sampled,
+    _o_bpe_train_n(_BPE_N, sample_where=_BPE_SAMPLE_SQL),
+)
 
 
 # -- 24. vocabulary-commonness score (CCNet-style unigram filter) --------------

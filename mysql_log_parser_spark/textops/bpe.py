@@ -183,6 +183,42 @@ def bpe_train_n(
     return cur, rounds
 
 
+def bpe_train_sampled(
+    tokens_df: DataFrame,
+    n_merges: int,
+    sample_pred,
+    first_id: int = 256,
+) -> tuple[DataFrame, list[dict]]:
+    """Hash-sampled BPE training — the production-vocab path: TRAIN the
+    ranked merge table on a deterministic sample of the corpus (boolean
+    Column `sample_pred`, e.g. a hash-of-doc_id band), then APPLY it
+    corpus-wide in ONE shuffle-free Arrow pass (`apply_merges`).
+
+    Exact `bpe_train_n` costs one full corpus pass PER merge — a 30k-merge
+    production vocab means 30k corpus passes, which is why every real
+    trainer (SentencePiece, HF tokenizers, GPT-2's) trains on a bounded
+    sample.  Here pass cost drops from ``n_merges * |corpus|`` to
+    ``n_merges * |sample| + |corpus|``: at a 1% hash sample a 30k-merge
+    vocab costs ~300 corpus-equivalents of training reads plus one
+    corpus-wide tokenize, vs 30k corpus passes exact — a ~100x pass-count
+    reduction, tunable by the sample rate.
+
+    Determinism: the merge rewrite is per-document, so training on the
+    sample is byte-identical to restricting the full chained trainer to
+    the sampled docs — which is exactly what the DuckDB oracle replays
+    (bigram argmax over sampled docs only, replace applied corpus-wide).
+
+    Returns (tokenized_df, rounds): tokenized_df is the apply_merges
+    output over the FULL corpus (doc_id, tokens_merged, n_before,
+    n_after); rounds is the trainer's merge table metadata.  Nothing is
+    left persisted."""
+    sample = tokens_df.where(sample_pred).select("doc_id", "tokens")
+    merged_sample, rounds = bpe_train_n(sample, n_merges, first_id)
+    merged_sample.unpersist()
+    merges = [(r["lead"], r["next"], r["new_id"]) for r in rounds]
+    return apply_merges(tokens_df, merges), rounds
+
+
 def apply_merges(
     tokens_df: DataFrame, merges: list[tuple[int, int, int]]
 ) -> DataFrame:

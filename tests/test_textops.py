@@ -523,6 +523,35 @@ def test_bpe_train_n_equals_sequential_merge_steps(spark):
     assert (rounds[0]["lead"], rounds[0]["next"]) == (97, 98)
 
 
+def test_bpe_train_sampled_parity_and_sampling(spark):
+    """bpe_train_sampled with an all-true predicate must reproduce
+    bpe_train_n's corpus exactly (train-on-everything == exact trainer);
+    with a restrictive sample the merge table is learned from the sampled
+    docs only but still rewrites every doc."""
+    from mysql_log_parser_spark.textops.bpe import bpe_train_n, bpe_train_sampled
+
+    rows = [(1, [97, 98, 97, 98, 99]), (2, [97, 98, 97, 97, 98]), (3, [99, 99, 99])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+    full, full_rounds = bpe_train_sampled(df, 2, F.lit(True))
+    exact, exact_rounds = bpe_train_n(df, 2)
+    got = {r["doc_id"]: list(r["tokens_merged"]) for r in full.collect()}
+    want = {r["doc_id"]: list(r["tokens"]) for r in exact.collect()}
+    exact.unpersist()
+    assert got == want
+    assert [(r["lead"], r["next"]) for r in full_rounds] == [
+        (r["lead"], r["next"]) for r in exact_rounds
+    ]
+
+    # sample = doc 3 only: the trainer must pick (99, 99), not the corpus
+    # majority (97, 98) — and the apply still rewrites docs 1/2 (no-op here)
+    sampled, rounds = bpe_train_sampled(df, 1, F.col("doc_id") == 3)
+    assert (rounds[0]["lead"], rounds[0]["next"]) == (99, 99)
+    out = {r["doc_id"]: list(r["tokens_merged"]) for r in sampled.collect()}
+    assert out[3] == [256, 99]          # greedy left-to-right on [99,99,99]
+    assert out[1] == [97, 98, 97, 98, 99]  # untouched: pair absent
+
+
 def test_kmv_sketch_exact_below_k_and_partition_invariant(spark):
     """A KMV sketch over fewer than k distinct hashes IS the distinct hash
     set (sorted) — and the two-level partial merge must yield the identical
