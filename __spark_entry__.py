@@ -47,71 +47,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Entries without a CURRENT-round driver CORRECTNESS row enumerate FIRST:
 # the driver's per-round gate records the first ~50 queries() entries in
-# dict order, so (a) never-gated, (b) changed-since-their-last-gate, and
-# (c) r02-row-only entries must lead while the r03-green-and-untouched
-# tail absorbs any cap (VERDICT r3 "What's missing" #1).
+# dict order, so (a) never-gated, (b) r02-row-only (VERDICT r4 "What's
+# missing" #1 — the 13-entry tail the r4 cap cut), and (c) entries whose
+# implementation changed after their r04 gate must lead; the cap's
+# remainder is filled with the OLDEST (r03-latest) rows so every entry's
+# driver row stays as fresh as 110 entries / 50-cap allows.
 _VERIFY_FIRST = [
     # (a) new this round, never driver-gated
-    "winnow_fingerprints",
-    "winnow_dup_pairs",
-    "mix_temperature",
-    "incremental_lsh_dedup",
-    "stream_lsh_dedup",
-    "char_diversity",
-    "dsir_weights",
-    "quality_classifier",
-    "ann_ivf_probe2",
-    "slow_snapshot_range",
-    "ann_ivfpq_adc",
-    "ann_ivfpq_rerank",
-    "ann_pq_recall",
-    "bpe_train8",
-    "source_overlap_sketch",
-    "ngram_novelty_sketch",
-    "dedup_substring",
-    "bpe_apply",
-    # (b) implementation changed after their last green driver row
-    "ann_lsh_topk",          # r02 row; Arrow matmul kernel param added (VERDICT r3)
-    "semantic_dedup",        # r03 row; centroid kernel='auto' switch added
-    "heavy_hitters",         # r03 row; certification edge-case fix (ADVICE)
-    "stream_heavy_hitters",  # r03 row; shares the certify helper
-    "bpe_merge_step",        # r03 row; bpe.py generalized to N rounds
-    "bpe_train2",            # r03 row; same
-    "line_boilerplate",      # r03 row; integer-exact threshold (ADVICE)
-    "slow_route_counts",     # r03 row; upsert key scoping + storage seam
-    "minhash_lsh_pairs",     # r02 row; band_long extracted from lsh_candidate_pairs
-    # (c) r02 rows only, implementation untouched since — rotate through
-    "slow_rawlog_chunked",   # rawlog gzip/member streaming touched the module
-    "slow_report_ladder",    # report.py rate-corrected lines touched the module
-    "slow_window_agg",
-    "slow_example_select",
-    "slow_example_ts",
-    "ngram_jaccard_pairs",
-    "multimodal_features",
-    "ann_ivf_topk",
-    "slow_salted_class_agg",
-    "slow_rollup_digest",
-    "slow_bool_stats",
-    "slow_resume_offset",
-    "multimodal_frame_sample",
-    "slow_sink_class_agg",
-    "ann_kmeans_step",
-    "slow_session_window",
-    "slow_asof_config",
-    "slow_range_bands",
-    "slow_stats_pivot",
-    "ann_kmeans_iter2",
-    "slow_class_agg_sketch",
-    "slow_spike_detect",
-    "slow_distinct_sketch",
+    "ann_ivfpq_residual",
+    "ann_pq_recall_residual",
+    "bpe_train_sampled",
+    "incremental_lsh_append",
+    # (b) r02-latest rows — the full 13 fit this round (VERDICT r4 item 3)
     "slow_global_sketch",
     "stream_route_counts",
     "stream_stateful_digest",
+    "stream_window_agg",
     "text_quality",
     "lang_id",
     "token_stats",
     "simhash_docs",
     "ann_cosine_topk",
+    "dedup_exact",
+    "embed_near_dup",
+    "split_assign",
+    "stratified_sample",
+    # (c) implementation changed after their r04 gate (round-5 commits:
+    # skew-safe span counts, fast winnow kernel + negative injected ids,
+    # double-safe DSIR, bounded LSH caches + shared oracle builder,
+    # PQ encode routing + prenormed rerank + residual audit, snapshot-log
+    # prefix guard, sampled-BPE oracle builder param)
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "dsir_weights",
+    "incremental_lsh_dedup",
+    "stream_lsh_dedup",
+    "dedup_substring",
+    "ann_ivfpq_adc",
+    "ann_ivfpq_rerank",
+    "ann_pq_recall",
+    "slow_snapshot_range",
+    "bpe_train8",
+    # (d) r03-latest rows, oldest first; module-touched ones lead
+    "tokens_roundtrip",       # tokens_table.py prefix guard touched the module
+    "slow_checkpoint_resume", # checkpoint/tokens source shared surface
+    "slow_parse_events",
+    "slow_class_agg",
+    "slow_global_agg",
+    "slow_enrich_team_agg",
+    "fingerprint_checksum",
+    "slow_stats_long",
+    "slow_top_classes",
+    "slow_histogram",
+    "slow_user_agg",
+    "slow_rate_limit_check",
+    "slow_admin_filter",
+    "slow_digest_merge",
+    "slow_bucketed_join",
+    "multimodal_resize",
+    "slow_window_topk",
+    "slow_db_capture",
+    "slow_set_skip",
+    "slow_sliding_window",
+    "slow_user_sketch",
+    "slow_event_offsets",
 ]
 
 

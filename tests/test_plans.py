@@ -375,3 +375,32 @@ def test_span_stats_no_window_on_span_key(spark):
     plan = _plan(duplicate_span_stats(df, k=8))
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final span count
+
+
+def test_round5_queries_plan_shape(spark):
+    """Round-5 additions: the sampled-BPE corpus-wide apply is ONE
+    shuffle-free MapInPandas (no per-merge corpus pass on the apply
+    side), the residual IVF-PQ query plans stay row-wise-Python-free,
+    and the LSH ingest verdicts carry no Exchange beyond the band-key /
+    doc-key joins (no row-wise Python anywhere)."""
+    import os
+
+    from mysql_log_parser_spark.entry_queries_ext import EXT_QUERIES
+    from mysql_log_parser_spark.entry_queries_textops import TEXTOPS_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not available")
+    reg = dict(TEXTOPS_QUERIES)
+    reg.update(EXT_QUERIES)
+    for name in ["bpe_train_sampled", "ann_ivfpq_residual",
+                 "incremental_lsh_append"]:
+        plan = _plan(reg[name][0](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+
+    # apply side alone: one Arrow pass, zero shuffle
+    from mysql_log_parser_spark.textops.bpe import apply_merges
+
+    df = spark.createDataFrame([(1, [97, 98, 99])], "doc_id long, tokens array<int>")
+    plan = _plan(apply_merges(df, [(97, 98, 256), (256, 99, 257)]))
+    assert "MapInPandas" in plan and "Exchange" not in plan
