@@ -2687,11 +2687,11 @@ def _rpq_frames(spark: SparkSession, sf_dir: str):
     from pyspark.sql.types import ArrayType, DoubleType
 
     from mysql_log_parser_spark.textops.pq import (
-        adc_lut_cols,
+        adc_lut_arrow,
         pq_codebooks,
         pq_encode,
         pq_encode_residual,
-        residual_lut_cols,
+        residual_lut_arrow,
     )
     from mysql_log_parser_spark.textops.similarity import norm
 
@@ -2720,9 +2720,16 @@ def _rpq_frames(spark: SparkSession, sf_dir: str):
         )
     )
     cells = wdf.withColumn("cell", (-choice.getField("nc")).cast("long"))
+    # Index-side encodes on the ARROW kernels: at M=16/Ks=16 the literal
+    # argmin trees are ~256 interpreted folds PER ROW PER ENCODE — measured
+    # 36-42 s per entry at sf0.1 (2k vectors!) vs ~4 s on the matmul path,
+    # even though M*Ks*sub=1024 sits under the generic auto switch (that
+    # threshold prices ONE fold per literal, not nested argmin structs).
+    # Kernel parity is contract-tested (tests/test_pq.py), so the DuckDB
+    # oracle — which replays the catalyst literal form — is unaffected.
     coded = pq_encode_residual(
-        pq_encode(cells, books, vec_col="w", kernel="catalyst"),
-        books, cents, vec_col="w", cell_col="cell", kernel="catalyst",
+        pq_encode(cells, books, vec_col="w", kernel="arrow"),
+        books, cents, vec_col="w", cell_col="cell", kernel="arrow",
     )
     n = coded.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -2732,15 +2739,30 @@ def _rpq_frames(spark: SparkSession, sf_dir: str):
         *[F.col(f"code{s}").cast("long").alias(f"code{s}") for s in range(_RPQ_M)],
         *[F.col(f"rcode{s}").cast("long").alias(f"rcode{s}") for s in range(_RPQ_M)],
     )
-    q = cells.where(F.col("vec_id") < _IVF_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        "cell",
-        F.col("w").alias("qw"),
-        norm(F.col("w")).alias("_qn"),
-        *adc_lut_cols(F.col("w"), books),
-        *residual_lut_cols(F.col("w"), F.col("cell"), books, cents),
+    # LUTs on the ARROW twins: the Catalyst builders' cost here is not
+    # execution (NQ rows) but PLAN CONSTRUCTION — 2·M·Ks fold trees are
+    # ~30k py4j round-trips, measured ~18 s per invocation at M=16/Ks=16.
+    # The arrow kernels keep the sequential fold order, so the doubles
+    # (and the oracle hash) are bit-identical.  The frame is then pinned
+    # (localCheckpoint) so the broadcast build side holds computed LUT
+    # arrays, never re-running folds per matched pair.
+    q = residual_lut_arrow(
+        adc_lut_arrow(
+            cells.where(F.col("vec_id") < _IVF_NQ).select(
+                F.col("vec_id").alias("query_id"),
+                "cell",
+                F.col("w").alias("qw"),
+                norm(F.col("w")).alias("_qn"),
+            ),
+            books,
+            vec_col="qw",
+        ),
+        books,
+        cents,
+        vec_col="qw",
+        cell_col="cell",
     )
-    return cells, n, q
+    return cells, n, q.localCheckpoint(eager=True)
 
 
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:

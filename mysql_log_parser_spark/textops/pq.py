@@ -352,6 +352,132 @@ def pq_encode_residual(
     )
 
 
+def _seq_dot(vm, c):
+    """Sequential-fold dot of the (rows, sub) block with literal c —
+    acc starts at 0.0 and adds one product at a time, reproducing the
+    Catalyst ``aggregate(zip_with(...), 0.0D, (acc, x) -> acc + x)``
+    IEEE op order bit-for-bit (numpy's dot/matmul would pairwise-sum)."""
+    import numpy as np
+
+    acc = np.zeros(vm.shape[0], dtype=np.float64)
+    for j, cj in enumerate(c):
+        acc = acc + vm[:, j] * cj
+    return acc
+
+
+def _seq_sqnorm(vm):
+    """Sequential-fold sum of squares (same op order as _sq_norm_slice)."""
+    import numpy as np
+
+    acc = np.zeros(vm.shape[0], dtype=np.float64)
+    for j in range(vm.shape[1]):
+        acc = acc + vm[:, j] * vm[:, j]
+    return acc
+
+
+def _lut_out_schema(df, m: int, prefix: str):
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    return StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{s}", ArrayType(DoubleType())) for s in range(m)]
+    )
+
+
+def adc_lut_arrow(
+    df, books: list[list[list[float]]], vec_col: str = "v", prefix: str = "lut"
+):
+    """Arrow twin of ``adc_lut_cols``: all M LUT array columns in one
+    mapInPandas pass.  The Catalyst builder's cost is not execution (the
+    query frame is a handful of rows) but PLAN CONSTRUCTION — M·Ks fold
+    trees are ~30k py4j round-trips (~18 s measured at M=16/Ks=16), paid
+    per query invocation.  Here the plan is O(1); every dot/sq-norm uses
+    the sequential fold order (_seq_dot/_seq_sqnorm) and the identical
+    ((dot·-2.0) + |c|²) + |q_m|² association, so the doubles match the
+    Catalyst tree (and the DuckDB oracle) bit-for-bit."""
+    import numpy as np
+
+    m = len(books)
+    sub = len(books[0][0])
+    ccs = [[sum(x * x for x in c) for c in cents] for cents in books]
+    out_schema = _lut_out_schema(df, m, prefix)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                for s in range(m):
+                    pdf[f"{prefix}{s}"] = pdf.get(vec_col, pdf.index).iloc[0:0]
+                yield pdf
+                continue
+            v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            for s in range(m):
+                vm = v[:, s * sub : (s + 1) * sub]
+                sqn = _seq_sqnorm(vm)
+                cols = [
+                    (_seq_dot(vm, c) * -2.0 + ccs[s][ci]) + sqn
+                    for ci, c in enumerate(books[s])
+                ]
+                pdf[f"{prefix}{s}"] = list(np.stack(cols, axis=1))
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def residual_lut_arrow(
+    df,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    prefix: str = "rlut",
+):
+    """Arrow twin of ``residual_lut_cols`` — same op order and association
+    as the Catalyst tree: rlut{s}[c] = ((-2.0·dot(q_m, c)) + c1[s][c][cell])
+    + qres, qres = (|q_m|² + (-2.0·dot(q_m, cent_m(cell)))) + |cent_m|²."""
+    import numpy as np
+
+    c1 = residual_const1(books, centroids)
+    m = len(books)
+    sub = len(books[0][0])
+    ncell = len(centroids)
+    cent_slices = [
+        [centroids[i][s * sub : (s + 1) * sub] for i in range(ncell)]
+        for s in range(m)
+    ]
+    ccn_tab = [
+        [sum(x * x for x in cs) for cs in cent_slices[s]] for s in range(m)
+    ]
+    out_schema = _lut_out_schema(df, m, prefix)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                for s in range(m):
+                    pdf[f"{prefix}{s}"] = pdf.get(vec_col, pdf.index).iloc[0:0]
+                yield pdf
+                continue
+            v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            cell = pdf[cell_col].to_numpy().astype(np.int64)
+            rows = np.arange(len(pdf))
+            for s in range(m):
+                vm = v[:, s * sub : (s + 1) * sub]
+                dcents = np.stack(
+                    [_seq_dot(vm, cs) for cs in cent_slices[s]], axis=1
+                )
+                dcent = dcents[rows, cell]
+                ccn = np.asarray(ccn_tab[s], dtype=np.float64)[cell]
+                qres = (_seq_sqnorm(vm) + -2.0 * dcent) + ccn
+                c1s = np.asarray(c1[s], dtype=np.float64)  # (Ks, ncell)
+                cols = [
+                    ((-2.0 * _seq_dot(vm, c)) + c1s[ci, cell]) + qres
+                    for ci, c in enumerate(books[s])
+                ]
+                pdf[f"{prefix}{s}"] = list(np.stack(cols, axis=1))
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def pq_encode_arrow(
     df, books: list[list[list[float]]], vec_col: str = "v", prefix: str = "code"
 ):

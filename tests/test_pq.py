@@ -181,3 +181,37 @@ def test_residual_recall_dominates_raw(spark):
     raw = sum(r["n_overlap_raw"] for r in rows)
     res = sum(r["n_overlap_res"] for r in rows)
     assert res > raw, (raw, res)
+
+
+def test_lut_arrow_matches_catalyst_bitwise(spark, vecs):
+    """The Arrow LUT twins must reproduce the Catalyst fold trees
+    BIT-FOR-BIT (not approximately): the LUT doubles feed round(.,6)
+    rankings the DuckDB oracle replays, so the kernels keep the
+    sequential fold order (_seq_dot/_seq_sqnorm) and the identical
+    association.  Struct equality below is exact float equality."""
+    from mysql_log_parser_spark.textops.pq import (
+        adc_lut_arrow,
+        adc_lut_cols,
+        pq_codebooks,
+        residual_lut_arrow,
+        residual_lut_cols,
+    )
+
+    books = pq_codebooks(m=4, ks=8, dim=16, salt="t")
+    cents = [[float(i + j % 3) / 4 for j in range(16)] for i in range(3)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], i % 3) for i, row in enumerate(vecs)],
+        ["vid", "v", "cell"],
+    )
+    cat = df.select(
+        "vid",
+        *adc_lut_cols(F.col("v"), books),
+        *residual_lut_cols(F.col("v"), F.col("cell"), books, cents),
+    )
+    arw = residual_lut_arrow(
+        adc_lut_arrow(df, books), books, cents, cell_col="cell"
+    ).drop("v", "cell")
+    names = [f"lut{s}" for s in range(4)] + [f"rlut{s}" for s in range(4)]
+    a = {r["vid"]: tuple(tuple(r[n]) for n in names) for r in cat.collect()}
+    b = {r["vid"]: tuple(tuple(r[n]) for n in names) for r in arw.collect()}
+    assert a == b and len(a) == len(vecs)
