@@ -2344,7 +2344,12 @@ def _ivfpq_frames(spark: SparkSession, sf_dir: str):
         norm(F.col("v")).alias("_qn"),
         *adc_lut_cols(F.col("v"), books),
     )
-    return cells, n, q
+    # Pin the NQ-row query frame before it is broadcast (CLAUDE.md
+    # invariant): a broadcast join does not pre-evaluate the build side's
+    # projection, so unpinned, the M*Ks LUT folds (and the _qn norm fold)
+    # would re-evaluate once per matched candidate PAIR instead of once
+    # per query — per-pair interpreted fold work at production cell sizes.
+    return cells, n, q.localCheckpoint(eager=True)
 
 
 def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2720,16 +2725,16 @@ def _rpq_frames(spark: SparkSession, sf_dir: str):
         )
     )
     cells = wdf.withColumn("cell", (-choice.getField("nc")).cast("long"))
-    # Index-side encodes on the ARROW kernels: at M=16/Ks=16 the literal
-    # argmin trees are ~256 interpreted folds PER ROW PER ENCODE — measured
-    # 36-42 s per entry at sf0.1 (2k vectors!) vs ~4 s on the matmul path,
-    # even though M*Ks*sub=1024 sits under the generic auto switch (that
-    # threshold prices ONE fold per literal, not nested argmin structs).
-    # Kernel parity is contract-tested (tests/test_pq.py), so the DuckDB
-    # oracle — which replays the catalyst literal form — is unaffected.
+    # Index-side encodes through kernel='auto', which at M=16/Ks=16 routes
+    # onto the ARROW kernels via the argmin-struct pricing
+    # (pq._ARGMIN_STRUCT_SWITCH): the literal argmin trees here are ~256
+    # interpreted folds PER ROW PER ENCODE — measured 36-42 s per entry at
+    # sf0.1 (2k vectors!) vs ~2 s on arrow.  The arrow encoders are
+    # bit-exact with the catalyst/oracle fold trees by construction
+    # (sequential-fold distances, tests/test_pq.py pins equality).
     coded = pq_encode_residual(
-        pq_encode(cells, books, vec_col="w", kernel="arrow"),
-        books, cents, vec_col="w", cell_col="cell", kernel="arrow",
+        pq_encode(cells, books, vec_col="w", kernel="auto"),
+        books, cents, vec_col="w", cell_col="cell", kernel="auto",
     )
     n = coded.select(
         F.col("vec_id").alias("neighbor_id"),

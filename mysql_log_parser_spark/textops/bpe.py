@@ -150,32 +150,47 @@ def bpe_train_n(
     {lead, next, new_id, count, seconds}.  merged_df is returned STILL
     PERSISTED (so consumers don't replay the merge chain) — callers own
     releasing it via merged_df.unpersist() when done; every earlier
-    generation is already released here."""
+    generation is already released here.
+
+    Training STOPS EARLY (len(rounds) < n_merges) when the corpus runs
+    dry of adjacent pairs — every real trainer's exhaustion rule, and the
+    case a small hash sample (bpe_train_sampled) can actually hit; a
+    raise here would throw away every merge already learned.  On any
+    other error the persisted generations are released before the
+    exception propagates (no storage leak from a mid-training failure)."""
     import time
 
     cur = tokens_df.select("doc_id", "tokens")
     rounds: list[dict] = []
     persisted: list[DataFrame] = []
-    for i in range(int(n_merges)):
-        t0 = time.monotonic()
-        lead, nxt, cnt = top_bigram(cur)
-        cur = apply_merge(cur, (lead, nxt), first_id + i).select(
-            "doc_id", F.col("tokens_merged").alias("tokens")
-        ).persist()
-        persisted.append(cur)
-        cur.count()  # materialize now so the timing covers the rewrite and
-        # the parent can be released next round
-        if len(persisted) >= 3:
-            persisted[-3].unpersist()
-        rounds.append(
-            {
-                "lead": lead,
-                "next": nxt,
-                "new_id": first_id + i,
-                "count": cnt,
-                "seconds": time.monotonic() - t0,
-            }
-        )
+    try:
+        for i in range(int(n_merges)):
+            t0 = time.monotonic()
+            try:
+                lead, nxt, cnt = top_bigram(cur)
+            except RuntimeError:
+                break  # no sequence with >= 2 tokens left: vocab exhausted
+            cur = apply_merge(cur, (lead, nxt), first_id + i).select(
+                "doc_id", F.col("tokens_merged").alias("tokens")
+            ).persist()
+            persisted.append(cur)
+            cur.count()  # materialize now so the timing covers the rewrite
+            # and the parent can be released next round
+            if len(persisted) >= 3:
+                persisted[-3].unpersist()
+            rounds.append(
+                {
+                    "lead": lead,
+                    "next": nxt,
+                    "new_id": first_id + i,
+                    "count": cnt,
+                    "seconds": time.monotonic() - t0,
+                }
+            )
+    except BaseException:
+        for p in persisted:
+            p.unpersist()
+        raise
     # the final generation is already materialized: its parent is pure
     # leak from here on (unreachable through the returned plan)
     if len(persisted) >= 2:
@@ -211,7 +226,10 @@ def bpe_train_sampled(
     Returns (tokenized_df, rounds): tokenized_df is the apply_merges
     output over the FULL corpus (doc_id, tokens_merged, n_before,
     n_after); rounds is the trainer's merge table metadata.  Nothing is
-    left persisted."""
+    left persisted.  A sample that runs dry (or selects nothing) yields
+    len(rounds) < n_merges — the learned prefix of the merge table is
+    still applied corpus-wide (empty sample -> identity tokenization),
+    matching bpe_train_n's exhaustion rule."""
     sample = tokens_df.where(sample_pred).select("doc_id", "tokens")
     merged_sample, rounds = bpe_train_n(sample, n_merges, first_id)
     merged_sample.unpersist()

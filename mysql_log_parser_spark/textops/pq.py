@@ -47,6 +47,24 @@ import hashlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: kernel='auto' routing for the PQ encoders.  The generic literal switch
+#: (similarity._ARROW_LITERAL_SWITCH = 8192) prices ONE fold per literal,
+#: but an encode candidate is a nested argmin STRUCT (fold + struct alloc +
+#: array_max comparator) — measured ~10-20x interpreter cost past ~hundreds
+#: of structs (M=16/Ks=16 -> 36-42 s/query at sf0.1 on 2k rows, vs ~2 s on
+#: arrow), while M=4/Ks=8 (32 structs) is fine and keeps the plan the
+#: oracle-mirrored gates replay.  So 'auto' goes arrow once the TOTAL
+#: argmin-struct count m*ks reaches this bound, independent of sub.
+_ARGMIN_STRUCT_SWITCH = 128
+
+
+def _pq_auto_kernel(m: int, ks: int, sub: int) -> str:
+    from mysql_log_parser_spark.textops.similarity import _ARROW_LITERAL_SWITCH
+
+    big_literals = m * ks * sub >= _ARROW_LITERAL_SWITCH
+    many_structs = m * ks >= _ARGMIN_STRUCT_SWITCH
+    return "arrow" if (big_literals or many_structs) else "catalyst"
+
 
 def pq_codebooks(
     m: int, ks: int, dim: int, salt: str = "pq", scale: float = 1.0
@@ -277,13 +295,15 @@ def pq_encode_residual_arrow(
     cell_col: str = "cell",
     prefix: str = "rcode",
 ):
-    """Arrow-kernel residual encoder — the production path: one
-    mapInPandas pass subtracts the row's cell centroid in numpy and runs
-    the same matmul argmin as pq_encode_arrow.  Plan size O(1) in M, Ks,
-    dim, and cell count; centroids + codebooks ride the closure.  Argmin
-    agreement with the Catalyst constant-folded path is exact except for
-    sub-ulp near-ties (BLAS vs sequential summation) — unit-asserted on
-    the gate corpus; the gate itself pins the Catalyst path."""
+    """Arrow-kernel residual encoder — the production path: plan size O(1)
+    in M, Ks, dim, and cell count; centroids + codebooks ride the closure.
+    Bit-exact by construction with the Catalyst constant-folded kernel
+    (pq_residual_code_cols): the distance column per candidate is
+    ((-2.0·seq_dot(v_m, c)) + c1[s][ci][cell]) — the SAME expression the
+    fold tree evaluates (no residual vector is ever formed, so no
+    alternative fp route exists), with np.argmin's first-minimum matching
+    the struct-max tie-break.  Cell ids are validated loudly
+    (_validated_cells) — numpy would silently wrap a negative id."""
     import numpy as np
     import pandas as pd  # noqa: F401
 
@@ -291,9 +311,8 @@ def pq_encode_residual_arrow(
 
     m = len(books)
     sub = len(books[0][0])
-    mats = [np.asarray(b, dtype=np.float64) for b in books]
-    ccs = [np.sum(c * c, axis=1) for c in mats]
-    cents = np.asarray(centroids, dtype=np.float64)  # (C, dim)
+    c1 = residual_const1(books, centroids)
+    ncell = len(centroids)
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField(f"{prefix}{s}", IntegerType()) for s in range(m)]
@@ -312,12 +331,13 @@ def pq_encode_residual_arrow(
                     "— filter nulls first (kernel-parity contract, see "
                     "pq_encode_arrow)"
                 )
+            cell = _validated_cells(pdf, cell_col, ncell, "pq_encode_residual")
             v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            r = v - cents[pdf[cell_col].to_numpy().astype(np.int64)]
             for s in range(m):
-                rm = r[:, s * sub : (s + 1) * sub]
-                dist = -2.0 * (rm @ mats[s].T) + ccs[s]
-                pdf[f"{prefix}{s}"] = np.argmin(dist, axis=1).astype(np.int32)
+                vm = v[:, s * sub : (s + 1) * sub]
+                c1s = np.asarray(c1[s], dtype=np.float64)  # (Ks, ncell)
+                consts = [c1s[ci, cell] for ci in range(len(books[s]))]
+                pdf[f"{prefix}{s}"] = _argmin_exact(vm, books[s], consts)
             yield pdf
 
     return df.mapInPandas(encode, out_schema)
@@ -334,16 +354,13 @@ def pq_encode_residual(
 ):
     """Append the M residual PQ code columns (requires the coarse cell
     column).  kernel='catalyst' is the constant-folded literal form the
-    DuckDB oracle replays digit-for-digit; 'arrow' the numpy
-    subtract-and-matmul form; 'auto' switches on the shared literal-count
-    threshold."""
-    from mysql_log_parser_spark.textops.similarity import _ARROW_LITERAL_SWITCH
-
+    DuckDB oracle replays digit-for-digit; 'arrow' the bit-exact numpy
+    form; 'auto' routes on _pq_auto_kernel (argmin-struct pricing)."""
     m = len(books)
     ks = len(books[0])
     sub = len(books[0][0])
     if kernel == "auto":
-        kernel = "arrow" if m * ks * sub >= _ARROW_LITERAL_SWITCH else "catalyst"
+        kernel = _pq_auto_kernel(m, ks, sub)
     if kernel == "arrow":
         return pq_encode_residual_arrow(df, books, centroids, vec_col, cell_col, prefix)
     cols = pq_residual_code_cols(F.col(vec_col), F.col(cell_col), books, centroids)
@@ -373,6 +390,45 @@ def _seq_sqnorm(vm):
     for j in range(vm.shape[1]):
         acc = acc + vm[:, j] * vm[:, j]
     return acc
+
+
+def _argmin_exact(vm, cents_list, consts):
+    """Bit-exact Arrow argmin: per candidate ci the distance column is
+    ((-2.0 · seq_dot(vm, c)) + consts[ci]) — the Catalyst fold tree's op
+    order and association — and np.argmin's first-minimum matches the
+    struct-max tie-break to the smallest code.  `consts[ci]` is either a
+    scalar (raw encoding: |c|²) or a per-row array (residual encoding:
+    c1[s][ci][cell]).  Ks sequential dots instead of one matmul: same
+    flop count, more numpy passes — the price of structural (not
+    empirical) agreement with the literal-fold kernel the oracle replays."""
+    import numpy as np
+
+    cols = [
+        (-2.0 * _seq_dot(vm, c)) + k for c, k in zip(cents_list, consts)
+    ]
+    return np.argmin(np.stack(cols, axis=1), axis=1).astype(np.int32)
+
+
+def _validated_cells(pdf, cell_col: str, ncell: int, who: str):
+    """Loud cell-id validation for the residual kernels: numpy fancy
+    indexing would silently WRAP a negative cell to the last centroid
+    (cents[-1]) where the Catalyst twin's element_at(..., cell+1) errors —
+    fail-don't-degrade, like the null-vector check."""
+    import numpy as np
+    import pandas as pd
+
+    raw = pdf[cell_col]
+    if pd.isna(raw).any():
+        raise ValueError(f"{who}: null {cell_col!r} in batch — assign cells first")
+    cell = raw.to_numpy().astype(np.int64)
+    if ((cell < 0) | (cell >= ncell)).any():
+        bad = cell[(cell < 0) | (cell >= ncell)][:3]
+        raise ValueError(
+            f"{who}: cell id out of range [0, {ncell}): {bad.tolist()} — "
+            "numpy indexing would silently wrap where the Catalyst kernel "
+            "errors, breaking kernel parity"
+        )
+    return cell
 
 
 def _lut_out_schema(df, m: int, prefix: str):
@@ -457,7 +513,7 @@ def residual_lut_arrow(
                 yield pdf
                 continue
             v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            cell = pdf[cell_col].to_numpy().astype(np.int64)
+            cell = _validated_cells(pdf, cell_col, ncell, "residual_lut_arrow")
             rows = np.arange(len(pdf))
             for s in range(m):
                 vm = v[:, s * sub : (s + 1) * sub]
@@ -479,16 +535,25 @@ def residual_lut_arrow(
 
 
 def pq_encode_arrow(
-    df, books: list[list[list[float]]], vec_col: str = "v", prefix: str = "code"
+    df,
+    books: list[list[list[float]]],
+    vec_col: str = "v",
+    prefix: str = "code",
+    exact: bool = True,
 ):
-    """Arrow-kernel PQ encoder — the production path once M*Ks*sub literals
-    would blow past the Catalyst tree (same switch threshold as the
-    centroid/hyperplane kernels, textops/similarity._ARROW_LITERAL_SWITCH):
-    one mapInPandas pass computes all M argmins per batch as numpy matmuls
-    (-2 V_m @ C_m^T + |c|^2, argmin per row; np.argmin takes the first
-    minimum, matching the Catalyst tie-break to the smallest code).  Plan
-    size is O(1) in M, Ks, and dim; the codebook rides the closure, not
-    the plan."""
+    """Arrow-kernel PQ encoder — the production path once the Catalyst
+    argmin trees get expensive: one mapInPandas pass computes all M
+    argmins per batch in numpy; plan size is O(1) in M, Ks, and dim (the
+    codebook rides the closure, not the plan).
+
+    `exact=True` (default) evaluates each candidate distance with the
+    SEQUENTIAL fold order ((-2·seq_dot(v_m, c)) + |c|²) — bit-identical
+    doubles to the Catalyst literal-fold kernel (and so to the DuckDB
+    oracle), so argmin agreement is structural, never a near-tie gamble.
+    `exact=False` uses one BLAS matmul per subspace (-2 V_m @ C_mᵀ + |c|²)
+    — fastest, argmin-equal except on sub-ulp near-ties; fine for pure
+    production indexes where either of two equidistant codes is equally
+    good, NOT for oracle-gated paths."""
     import numpy as np
     import pandas as pd  # noqa: F401
 
@@ -498,6 +563,7 @@ def pq_encode_arrow(
     sub = len(books[0][0])
     mats = [np.asarray(b, dtype=np.float64) for b in books]  # (Ks, sub) each
     ccs = [np.sum(c * c, axis=1) for c in mats]
+    ccs_py = [[sum(x * x for x in c) for c in cents] for cents in books]
     # Fresh StructType: StructType.add mutates in place, and df.schema is the
     # DataFrame's cached schema object — mutating it desyncs df.columns.
     out_schema = StructType(
@@ -522,8 +588,11 @@ def pq_encode_arrow(
             v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
             for s in range(m):
                 vm = v[:, s * sub : (s + 1) * sub]
-                dist = -2.0 * (vm @ mats[s].T) + ccs[s]
-                pdf[f"{prefix}{s}"] = np.argmin(dist, axis=1).astype(np.int32)
+                if exact:
+                    pdf[f"{prefix}{s}"] = _argmin_exact(vm, books[s], ccs_py[s])
+                else:
+                    dist = -2.0 * (vm @ mats[s].T) + ccs[s]
+                    pdf[f"{prefix}{s}"] = np.argmin(dist, axis=1).astype(np.int32)
             yield pdf
 
     return df.mapInPandas(encode, out_schema)
@@ -538,15 +607,14 @@ def pq_encode(
 ):
     """Append the M PQ code columns.  kernel='catalyst' is the literal-fold
     form the DuckDB oracle replays digit-for-digit; 'arrow' is the
-    constant-plan-size matmul form for production M*Ks*dim; 'auto' switches
-    on the literal-count threshold shared with the other ANN kernels."""
-    from mysql_log_parser_spark.textops.similarity import _ARROW_LITERAL_SWITCH
-
+    constant-plan-size numpy form (bit-identical doubles by default, see
+    pq_encode_arrow); 'auto' routes on _pq_auto_kernel — which prices
+    argmin STRUCTS, not just literals."""
     m = len(books)
     ks = len(books[0])
     sub = len(books[0][0])
     if kernel == "auto":
-        kernel = "arrow" if m * ks * sub >= _ARROW_LITERAL_SWITCH else "catalyst"
+        kernel = _pq_auto_kernel(m, ks, sub)
     if kernel == "arrow":
         return pq_encode_arrow(df, books, vec_col, prefix)
     cols = pq_code_cols(F.col(vec_col), books)

@@ -196,20 +196,18 @@ def _select_fingerprints_fast(c, w: int):
     return mm[keep]
 
 
-def winnow_fingerprints_arrow(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = K, w: int = W, hash_fn=None,
-) -> DataFrame:
-    """Per-doc numpy kernel: gram hashing (``hash_fn(txt, k, npos)`` ->
-    int64 array; defaults to the md5 gate hash) + the shared vectorized
-    sliding-window-min selection + per-doc dedup inside one mapInPandas
-    batch — zero shuffle."""
+def _winnow_map(docs, text_col, id_col, k, w, per_doc):
+    """Shared mapInPandas loop for the per-doc winnowing kernels: the null
+    skip, POSCAP guard, npos < w skip, empty-batch id-dtype handling and
+    output assembly live ONCE (they drifted between the md5 and fast
+    kernels before — the empty-batch Arrow-dtype fix had to be applied
+    twice); ``per_doc(txt, npos) -> (fp, pos)`` int64 arrays supplies the
+    kernel-specific hash + selection."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    hash_fn = hash_fn or gram_hashes_md5
     id_field = docs.schema[id_col]
     out_schema = StructType([
         StructField(id_field.name, id_field.dataType),
@@ -235,8 +233,7 @@ def winnow_fingerprints_arrow(
                 npos = n - k + 1
                 if npos < w:
                     continue
-                hs = hash_fn(txt, k, npos)
-                fp, pos = _select_fingerprints(hs, 1, w)
+                fp, pos = per_doc(txt, npos)
                 ids.extend([did] * len(fp))
                 fps.append(fp)
                 poss.append(pos)
@@ -256,6 +253,22 @@ def winnow_fingerprints_arrow(
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def winnow_fingerprints_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = K, w: int = W, hash_fn=None,
+) -> DataFrame:
+    """Per-doc numpy kernel: gram hashing (``hash_fn(txt, k, npos)`` ->
+    int64 array; defaults to the md5 gate hash) + the shared vectorized
+    sliding-window-min selection + per-doc dedup inside one mapInPandas
+    batch — zero shuffle."""
+    hash_fn = hash_fn or gram_hashes_md5
+
+    def per_doc(txt: str, npos: int):
+        return _select_fingerprints(hash_fn(txt, k, npos), 1, w)
+
+    return _winnow_map(docs, text_col, id_col, k, w, per_doc)
+
+
 def winnow_fingerprints_fast(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = K, w: int = W,
@@ -263,57 +276,20 @@ def winnow_fingerprints_fast(
     """Production kernel: rolling-polynomial gram hash (gram_hashes_fast,
     zero Python calls per position) + sort-free selection
     (_select_fingerprints_fast: in-place pairwise sliding mins + run-dedup
-    instead of np.unique's sort) — measured ~13x the md5 kernel's
-    throughput at the 100k-doc scaling corpus (BENCH.md r5)."""
+    instead of np.unique's sort) — measured 12.4x the md5 kernel's
+    single-core hash+select throughput (BENCH.md r5, bench_winnow.py).
+    Same shared per-batch loop as the md5 kernel (_winnow_map)."""
     import numpy as np
-    import pandas as pd
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    def per_doc(txt: str, npos: int):
+        hs = gram_hashes_fast(txt, k, npos)
+        c = hs * POSCAP + (
+            POSCAP - 1 - np.arange(1, npos + 1, dtype=np.int64)
+        )
+        sel = _select_fingerprints_fast(c, w)
+        return sel // POSCAP, POSCAP - 1 - (sel % POSCAP)
 
-    id_field = docs.schema[id_col]
-    out_schema = StructType([
-        StructField(id_field.name, id_field.dataType),
-        StructField("fp", LongType()),
-        StructField("pos", LongType()),
-    ])
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            sels: list = []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                if txt is None:
-                    continue
-                n = len(txt)
-                if n >= POSCAP:
-                    raise ValueError(
-                        f"winnow: doc {did} is >= {POSCAP} chars; POSCAP "
-                        "position encoding would alias — split the doc or "
-                        "raise POSCAP"
-                    )
-                npos = n - k + 1
-                if npos < w:
-                    continue
-                hs = gram_hashes_fast(txt, k, npos)
-                c = hs * POSCAP + (
-                    POSCAP - 1 - np.arange(1, npos + 1, dtype=np.int64)
-                )
-                sel = _select_fingerprints_fast(c, w)
-                ids.extend([did] * len(sel))
-                sels.append(sel)
-            id_series = (
-                pd.Series(ids) if ids else pdf[id_col].iloc[0:0].reset_index(drop=True)
-            )
-            sel_all = (
-                np.concatenate(sels) if sels else np.array([], dtype=np.int64)
-            )
-            yield pd.DataFrame({
-                id_col: id_series,
-                "fp": sel_all // POSCAP,
-                "pos": POSCAP - 1 - (sel_all % POSCAP),
-            })
-
-    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+    return _winnow_map(docs, text_col, id_col, k, w, per_doc)
 
 
 def winnow_fingerprints(
@@ -324,8 +300,9 @@ def winnow_fingerprints(
 
     Kernels (selection semantics identical — parity-tested):
     - 'fast' (= 'auto'): vectorized numpy rolling polynomial hash +
-      sort-free run-dedup selection — the production path (~13x the md5
-      kernel's throughput, BENCH.md r5 microbench).
+      sort-free run-dedup selection — the production path (12.4x the md5
+      kernel's single-core hash+select throughput, BENCH.md r5 /
+      bench_winnow.py).
     - 'arrow': md5 gram hash, per-doc selection — the gate/oracle path
       (DuckDB replays the md5 values digit-for-digit), and the hash the
       dup-mining gates pin.

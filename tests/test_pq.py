@@ -215,3 +215,24 @@ def test_lut_arrow_matches_catalyst_bitwise(spark, vecs):
     a = {r["vid"]: tuple(tuple(r[n]) for n in names) for r in cat.collect()}
     b = {r["vid"]: tuple(tuple(r[n]) for n in names) for r in arw.collect()}
     assert a == b and len(a) == len(vecs)
+
+
+def test_residual_arrow_rejects_bad_cells(spark, vecs):
+    """Numpy fancy indexing would silently WRAP cell=-1 to the LAST
+    centroid where the Catalyst twin's element_at errors — the kernels
+    must fail loudly instead of silently diverging."""
+    from mysql_log_parser_spark.textops.pq import (
+        pq_codebooks,
+        pq_encode_residual,
+        residual_lut_arrow,
+    )
+
+    books = pq_codebooks(m=4, ks=8, dim=16, salt="t")
+    cents = [[float(i + j % 3) / 4 for j in range(16)] for i in range(3)]
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]], -1)], ["vid", "v", "cell"]
+    )
+    with pytest.raises(Exception, match="cell id out of range"):
+        pq_encode_residual(df, books, cents, kernel="arrow").collect()
+    with pytest.raises(Exception, match="cell id out of range"):
+        residual_lut_arrow(df, books, cents, cell_col="cell").collect()

@@ -1038,3 +1038,24 @@ def test_char_diversity(spark):
     assert out[4]["simpson_permille"] == 500 and out[4]["top_char_permille"] == 500
     plan = char_diversity(docs)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_bpe_train_dry_sample_stops_early(spark):
+    """A sample that runs out of adjacent pairs stops training instead of
+    raising away the merges already learned; an EMPTY sample learns zero
+    merges and the corpus-wide apply is the identity tokenization."""
+    from mysql_log_parser_spark.textops.bpe import bpe_train_n, bpe_train_sampled
+
+    df = spark.createDataFrame(
+        [(1, [97, 98, 97, 98]), (2, [99])], "doc_id long, tokens array<int>"
+    )
+    # doc 2 alone has no bigrams at all -> 0 rounds, identity apply
+    out, rounds = bpe_train_sampled(df, 3, F.col("doc_id") == 2)
+    assert rounds == []
+    got = {r["doc_id"]: list(r["tokens_merged"]) for r in out.collect()}
+    assert got == {1: [97, 98, 97, 98], 2: [99]}
+    # doc 1: merge 1 -> [256, 256]; merge 2 -> [257]; then DRY at round 3
+    merged, rounds = bpe_train_n(df.where(F.col("doc_id") == 1), 5)
+    assert len(rounds) == 2
+    assert [list(r["tokens"]) for r in merged.collect()] == [[257]]
+    merged.unpersist()
