@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "ann_pq_recall_residual",
     "bpe_train_sampled",
     "incremental_lsh_append",
+    "quality_calibrate",
     # (b) r02-latest rows — the full 13 fit this round (VERDICT r4 item 3)
     "slow_global_sketch",
     "stream_route_counts",

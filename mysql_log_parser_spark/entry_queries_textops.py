@@ -2983,3 +2983,63 @@ FROM c LEFT JOIN agg a ON a.doc_id = c.doc_id
 """
 
 TEXTOPS_QUERIES["char_diversity"] = (q_char_diversity, O_CHAR_DIVERSITY)
+
+
+# -- 37. per-source quality-percentile calibration ------------------------------
+
+
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-top-X%-per-source selection (textops/sampling.
+    calibrate_per_source): each doc's quality score (floor-permille of the
+    [0,1] heuristic the quality_filter gate already replays) is ranked
+    against ITS SOURCE's score distribution via the bounded
+    per-(source, score) histogram — one small groupBy, a window over the
+    histogram rows only, a broadcast join back; never a per-doc window
+    partitioned by source (an entire source in one WindowExec partition
+    is the skew trap).  keep = top ~20% of each source."""
+    from mysql_log_parser_spark.textops.quality import quality_score
+    from mysql_log_parser_spark.textops.sampling import calibrate_per_source
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.floor(quality_score(F.col("text")) * 1000).cast("long").alias("score"),
+    )
+    return calibrate_per_source(scored, cut_permille=800)
+
+
+O_QUALITY_CALIBRATE = f"""
+WITH w AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, source,
+         CAST(len(words) AS DOUBLE) AS n_words,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text) AS punct_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+         len(list_filter(words, x -> list_contains({_ALL_SW}, x))) / len(words) AS stopword_ratio
+  FROM w
+), s AS (
+  SELECT doc_id, source,
+         CAST(floor((0.4 * least(n_words / 100.0, 1.0)
+                   + 0.3 * greatest(0.0, 1.0 - 2.0 * (punct_ratio + digit_ratio))
+                   + 0.3 * least(1.0, 4.0 * stopword_ratio)) * 1000) AS BIGINT) AS score
+  FROM f
+), h AS (
+  SELECT source, score, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY source, score
+), c AS (
+  SELECT source, score,
+         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM h
+)
+SELECT s.doc_id, s.source, s.score,
+       (1000 * c.below) // c.tot AS pct_permille,
+       (1000 * c.below) // c.tot >= 800 AS keep
+FROM s JOIN c ON c.source = s.source AND c.score = s.score
+"""
+
+TEXTOPS_QUERIES["quality_calibrate"] = (q_quality_calibrate, O_QUALITY_CALIBRATE)

@@ -272,3 +272,53 @@ def temperature_mix(
             " AS BIGINT)"
         ).alias("factor_permille"),
     )
+
+
+def calibrate_per_source(
+    scored: DataFrame,
+    score_col: str = "score",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cut_permille: int = 800,
+) -> DataFrame:
+    """Per-source percentile calibration of a quality score — the
+    production selection rule "keep the top X% of EACH source": raw
+    classifier/heuristic scores are not comparable across sources (a
+    mediocre encyclopedia page outscores an excellent forum post), so a
+    single global threshold over-prunes whole sources; every large
+    curation stack thresholds per-source percentiles instead.
+
+    Scale shape: NEVER a per-doc window over the corpus —
+    ``percent_rank().over(Window.partitionBy(source))`` puts an entire
+    source in ONE unsplittable WindowExec partition (the same trap the
+    span-frequency fix removed, tests/test_plans.py).  The score must be
+    BOUNDED-integer (e.g. permille), so the rank comes from the
+    per-(source, score) HISTOGRAM: one groupBy shuffle bounded by
+    |sources| x |score values| rows, a cumulative window over those few
+    histogram rows only, then a broadcast join back onto the corpus.
+
+    pct_permille = floor(1000 * docs-strictly-below / n_source) — the
+    exact-integer percentile rank (ties share a rank, like SQL
+    cume-below); keep iff pct_permille >= cut_permille (cut=800 keeps
+    the top ~20% of each source)."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(source_col, score_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(source_col).orderBy(score_col)
+    cum = hist.select(
+        source_col,
+        score_col,
+        (F.sum("_n").over(w) - F.col("_n")).alias("_below"),
+        F.sum("_n").over(Window.partitionBy(source_col)).alias("_tot"),
+    )
+    ranked = scored.join(F.broadcast(cum), [source_col, score_col])
+    pct = F.expr("(1000 * _below) DIV _tot")
+    return ranked.select(
+        id_col,
+        source_col,
+        F.col(score_col).cast("long").alias(score_col),
+        pct.cast("long").alias("pct_permille"),
+        (pct >= cut_permille).alias("keep"),
+    )

@@ -404,3 +404,25 @@ def test_round5_queries_plan_shape(spark):
     df = spark.createDataFrame([(1, [97, 98, 99])], "doc_id long, tokens array<int>")
     plan = _plan(apply_merges(df, [(97, 98, 256), (256, 99, 257)]))
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_calibrate_plan_histogram_not_perdoc_window(spark):
+    """calibrate_per_source ranks through the per-(source, score)
+    histogram: the per-doc side must reach the output through a
+    BroadcastHashJoin with NO Window above it — the Window runs over the
+    aggregated histogram rows only (below the join's build side), never
+    partitioning the corpus by source."""
+    from mysql_log_parser_spark.textops.sampling import calibrate_per_source
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10)],
+        "doc_id long, source string, score long",
+    )
+    plan = _plan(calibrate_per_source(df))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the Window sits under the broadcast exchange (build side), i.e. the
+    # histogram branch — the probe side above the join is window-free
+    probe_side = plan.split("BroadcastHashJoin")[0]
+    assert "Window" not in probe_side
+    assert plan.count("HashAggregate") >= 2  # partial+final histogram agg

@@ -1059,3 +1059,25 @@ def test_bpe_train_dry_sample_stops_early(spark):
     assert len(rounds) == 2
     assert [list(r["tokens"]) for r in merged.collect()] == [[257]]
     merged.unpersist()
+
+
+def test_calibrate_per_source(spark):
+    """Percentile rank is within-source (the same score ranks differently
+    in different sources), ties share a rank (docs-strictly-below), and
+    keep selects the top slice of EACH source."""
+    from mysql_log_parser_spark.textops.sampling import calibrate_per_source
+
+    rows = [(i, "a", s) for i, s in enumerate([10, 20, 30, 40, 50])] + [
+        (10 + i, "b", s) for i, s in enumerate([50, 60, 60, 70])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = {r["doc_id"]: r.asDict() for r in
+           calibrate_per_source(df, cut_permille=600).collect()}
+    # source a: below-counts 0..4 of 5 -> 0, 200, 400, 600, 800
+    assert [out[i]["pct_permille"] for i in range(5)] == [0, 200, 400, 600, 800]
+    assert [out[i]["keep"] for i in range(5)] == [False] * 3 + [True, True]
+    # score 50 ranks 800 in source a but 0 in source b (within-source rank)
+    assert out[10]["pct_permille"] == 0 and not out[10]["keep"]
+    # tie: both 60s share below=1 of 4 -> 250
+    assert out[11]["pct_permille"] == out[12]["pct_permille"] == 250
+    assert out[13]["pct_permille"] == 750 and out[13]["keep"]
