@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # missing" #1 — the 13-entry tail the r4 cap cut), and (c) entries whose
 # implementation changed after their r04 gate must lead; the cap's
 # remainder is filled with the OLDEST (r03-latest) rows so every entry's
-# driver row stays as fresh as 110 entries / 50-cap allows.
+# driver row stays as fresh as 112 entries / 50-cap allows.
 _VERIFY_FIRST = [
     # (a) new this round, never driver-gated
     "ann_ivfpq_residual",
@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "bpe_train_sampled",
     "incremental_lsh_append",
     "quality_calibrate",
+    "dedup_exact_tokens",
     # (b) r02-latest rows — the full 13 fit this round (VERDICT r4 item 3)
     "slow_global_sketch",
     "stream_route_counts",

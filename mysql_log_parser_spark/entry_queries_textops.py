@@ -3043,3 +3043,59 @@ FROM s JOIN c ON c.source = s.source AND c.score = s.score
 """
 
 TEXTOPS_QUERIES["quality_calibrate"] = (q_quality_calibrate, O_QUALITY_CALIBRATE)
+
+
+# -- 38. exact sequence dedup over the tokens contract ---------------------------
+
+
+def q_dedup_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the TOKEN SEQUENCE (BASELINE.json input_hint:
+    post-tokenization corpora often carry no text column at all, so the
+    content key must come from `tokens array<int32>` itself): md5 over the
+    comma-joined ids -> one hash-groupBy -> dup groups.  Same O(N)
+    hash-shuffle shape as the text-keyed `dedup_exact`; the key expression
+    is a single fold referenced once (HOF-no-CSE discipline).  Injected
+    copies use the negative-id scheme, so keep_id = max(doc_id) always
+    selects the positive original."""
+    from mysql_log_parser_spark import entry_queries as EQ
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", EQ.encode_tokens("text").alias("tokens")
+    )
+    dup = d.where(F.col("doc_id") % 9 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "tokens"
+    )
+    corpus = d.unionByName(dup)
+    key = F.md5(
+        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+    )
+    return (
+        corpus.select(key.alias("seq_hash"), "doc_id")
+        .groupBy("seq_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.max("doc_id").cast("long").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+O_DEDUP_EXACT_TOKENS = """
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(string_split(text, ''), c -> c != ''),
+           c -> CAST(unicode(c) AS VARCHAR)), ',') AS seq
+  FROM documents
+), d AS (
+  SELECT doc_id, seq FROM t
+  UNION ALL
+  SELECT -(doc_id + 1), seq FROM t WHERE doc_id % 9 = 0
+)
+SELECT md5(seq) AS seq_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(max(doc_id) AS BIGINT) AS keep_id
+FROM d GROUP BY seq HAVING count(*) > 1
+"""
+
+TEXTOPS_QUERIES["dedup_exact_tokens"] = (q_dedup_exact_tokens, O_DEDUP_EXACT_TOKENS)

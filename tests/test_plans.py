@@ -394,7 +394,8 @@ def test_round5_queries_plan_shape(spark):
     reg = dict(TEXTOPS_QUERIES)
     reg.update(EXT_QUERIES)
     for name in ["bpe_train_sampled", "ann_ivfpq_residual",
-                 "incremental_lsh_append"]:
+                 "incremental_lsh_append", "quality_calibrate",
+                 "dedup_exact_tokens"]:
         plan = _plan(reg[name][0](spark, sf))
         assert "BatchEvalPython" not in plan, name
 
